@@ -1,0 +1,176 @@
+"""Unaligned BAM/SAM reading (and a minimal BAM/BGZF writer).
+
+The reference accepts unaligned BAM/CRAM/SAM via noodles
+(`liblrge/src/io.rs:63-119``) and **rejects mapped records**
+(`io.rs:167-172`).  This module implements the BAM container format
+natively (BGZF is a sequence of gzip members, which Python's zlib/gzip
+handles), plus header-text SAM.  CRAM decoding is not yet implemented —
+see :func:`read_cram`.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import BinaryIO, Iterator, Tuple
+
+from ..errors import FastqParseError, IoError
+
+Record = Tuple[bytes, bytes]
+
+# 4-bit encoded bases, SAM spec §4.2.3
+_SEQ_CODES = b"=ACMGRSVTWYHKDBN"
+
+_MAPPED_ERROR = "Mapped records are not supported. Only unaligned BAM/CRAM/SAM is allowed."
+
+
+def _decode_seq(packed: bytes, l_seq: int) -> bytes:
+    out = bytearray(l_seq)
+    for i in range(l_seq):
+        b = packed[i >> 1]
+        code = (b >> 4) if (i & 1) == 0 else (b & 0xF)
+        out[i] = _SEQ_CODES[code]
+    return bytes(out)
+
+
+def read_bam(stream: BinaryIO) -> Iterator[Record]:
+    """Iterate ``(name, seq)`` over a decompressed BAM stream.
+
+    ``stream`` must already be BGZF/gzip-decompressed and positioned at
+    the ``BAM\\x01`` magic.  Raises on mapped records (flag bit 0x4
+    clear), mirroring `io.rs:167-172`.
+    """
+    magic = stream.read(4)
+    if magic != b"BAM\x01":
+        raise FastqParseError(f"Bad BAM magic: {magic!r}")
+    (l_text,) = struct.unpack("<i", stream.read(4))
+    stream.read(l_text)  # header text (ignored)
+    (n_ref,) = struct.unpack("<i", stream.read(4))
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack("<i", stream.read(4))
+        stream.read(l_name + 4)  # name + l_ref
+    while True:
+        head = stream.read(4)
+        if not head:
+            return
+        if len(head) < 4:
+            raise FastqParseError("Truncated BAM record")
+        (block_size,) = struct.unpack("<i", head)
+        block = stream.read(block_size)
+        if len(block) < block_size:
+            raise FastqParseError("Truncated BAM record body")
+        (
+            _ref_id,
+            _pos,
+            l_read_name,
+            _mapq,
+            _bin,
+            n_cigar_op,
+            flag,
+            l_seq,
+            _next_ref,
+            _next_pos,
+            _tlen,
+        ) = struct.unpack_from("<iiBBHHHiiii", block, 0)
+        if not (flag & 0x4):
+            raise IoError(_MAPPED_ERROR)
+        off = 32
+        name = block[off : off + l_read_name - 1]  # NUL-terminated
+        off += l_read_name
+        off += 4 * n_cigar_op
+        packed = block[off : off + ((l_seq + 1) // 2)]
+        yield name, _decode_seq(packed, l_seq)
+
+
+def read_sam(stream: BinaryIO) -> Iterator[Record]:
+    """Iterate ``(name, seq)`` over a SAM text stream (header included)."""
+    for line in stream:
+        if line.startswith(b"@"):
+            continue
+        line = line.rstrip(b"\r\n")
+        if not line:
+            continue
+        fields = line.split(b"\t")
+        if len(fields) < 11:
+            raise FastqParseError(f"Malformed SAM record: {line[:40]!r}")
+        flag = int(fields[1])
+        if not (flag & 0x4):
+            raise IoError(_MAPPED_ERROR)
+        yield fields[0], fields[9]
+
+
+def read_cram(stream: BinaryIO) -> Iterator[Record]:
+    """CRAM support gate.
+
+    The reference reads CRAM via noodles; a native CRAM codec
+    (rANS/external blocks) is planned but not yet implemented here.
+    """
+    raise NotImplementedError(
+        "CRAM input is not supported yet; convert to unaligned BAM or FASTQ"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Minimal BGZF/BAM writing (used for fixtures and intermediate artifacts)
+# ---------------------------------------------------------------------------
+
+_BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+
+def _bgzf_block(payload: bytes) -> bytes:
+    comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+    deflated = comp.compress(payload) + comp.flush()
+    bsize = len(deflated) + 25 + 1  # header(12)+extra(6)+deflate+crc(4)+isize(4) - 1
+    xtra = b"BC" + struct.pack("<HH", 2, bsize)
+    header = struct.pack(
+        "<BBBBIBBH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, len(xtra)
+    )
+    return (
+        header
+        + xtra
+        + deflated
+        + struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF, len(payload) & 0xFFFFFFFF)
+    )
+
+
+def write_unaligned_bam(path, records: list[Record], header_text: bytes = b"@HD\tVN:1.6\n"):
+    """Write ``(name, seq)`` records as an unaligned BGZF BAM file."""
+    body = bytearray()
+    body += b"BAM\x01"
+    body += struct.pack("<i", len(header_text)) + header_text
+    body += struct.pack("<i", 0)  # n_ref
+    for name, seq in records:
+        l_seq = len(seq)
+        packed = bytearray((l_seq + 1) // 2)
+        for i, base in enumerate(seq):
+            code = _SEQ_CODES.find(bytes([base]).upper())
+            if code < 0:
+                code = 15  # N
+            if i & 1:
+                packed[i >> 1] |= code
+            else:
+                packed[i >> 1] |= code << 4
+        rec = struct.pack(
+            "<iiBBHHHiiii",
+            -1,  # refID
+            -1,  # pos
+            len(name) + 1,
+            255,  # mapq missing
+            4680,  # bin for unmapped
+            0,  # n_cigar
+            0x4,  # flag: unmapped
+            l_seq,
+            -1,
+            -1,
+            0,
+        )
+        rec += name + b"\x00" + bytes(packed) + b"\xff" * l_seq
+        body += struct.pack("<i", len(rec)) + rec
+    with open(path, "wb") as fh:
+        data = bytes(body)
+        # split into <=64KB BGZF blocks
+        for off in range(0, len(data), 60000):
+            fh.write(_bgzf_block(data[off : off + 60000]))
+        fh.write(_BGZF_EOF)

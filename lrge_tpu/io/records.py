@@ -1,0 +1,52 @@
+"""Record-level API over any supported input: count and iterate.
+
+Mirrors `liblrge/src/io.rs:121-184`:
+
+* :func:`count_records` — full first pass; errors on empty files.
+* :func:`iter_records` — yields ``(read_id, seq)``; the id is the header
+  truncated at the first ASCII whitespace (`io.rs:196-205`); mapped
+  BAM/SAM records raise.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Tuple
+
+from ..errors import IoError
+from .bam import read_bam, read_cram, read_sam
+from .fastx import parse_fastx, read_id_from_header
+from .sniff import ContentFormat, open_decompressed, sniff_content
+
+Record = Tuple[bytes, bytes]
+
+
+def _open_records(path: os.PathLike | str) -> Iterator[Record]:
+    stream = open_decompressed(path)
+    head = stream.peek(4)[:4] if hasattr(stream, "peek") else b""
+    fmt = sniff_content(head)
+    if fmt is ContentFormat.BAM:
+        return read_bam(stream)
+    if fmt is ContentFormat.SAM:
+        return read_sam(stream)
+    if fmt is ContentFormat.CRAM:
+        return read_cram(stream)
+    return ((read_id_from_header(h), s) for h, s in parse_fastx(stream))
+
+
+def iter_records(path: os.PathLike | str) -> Iterator[Record]:
+    """Yield ``(read_id, seq)`` for every record in ``path``."""
+    for name, seq in _open_records(path):
+        # BAM names are already bare; FASTX ids are pre-truncated above.
+        yield name, seq
+
+
+def count_records(path: os.PathLike | str) -> int:
+    """Count records with a full pass; empty files are an error
+    (`io.rs:140-145`)."""
+    count = 0
+    for _ in _open_records(path):
+        count += 1
+    if count == 0:
+        raise IoError("Is the file empty?")
+    return count

@@ -1,0 +1,166 @@
+"""I/O layer tests mirroring `liblrge/src/io.rs:207-391`."""
+
+import bz2
+import gzip
+import io as pyio
+import lzma
+
+import pytest
+
+from lrge_tpu.errors import FastqParseError, IoError
+from lrge_tpu.io import count_records, iter_records, read_id_from_header
+from lrge_tpu.io.bam import write_unaligned_bam
+from lrge_tpu.io.sniff import CompressionFormat, detect_compression_format
+
+FASTQ = b"@r1 comment\nACGTACGT\n+\nIIIIIIII\n@r2\nGGGGCCCC\n+\nIIIIIIII\n"
+FASTA = b">r1 comment\nACGTACGT\n>r2\nGGGG\nCCCC\n"
+
+
+def _collect(path):
+    return list(iter_records(path))
+
+
+class TestCompressionDetection:
+    def test_gzip(self):
+        data = gzip.compress(b"foo bar\n")
+        assert detect_compression_format(pyio.BytesIO(data)) == CompressionFormat.GZIP
+
+    def test_bzip2(self):
+        data = bz2.compress(b"foo bar\n")
+        assert detect_compression_format(pyio.BytesIO(data)) == CompressionFormat.BZIP2
+
+    def test_xz(self):
+        data = lzma.compress(b"foo bar\n")
+        assert detect_compression_format(pyio.BytesIO(data)) == CompressionFormat.XZ
+
+    def test_zstd(self):
+        import zstandard
+
+        data = zstandard.ZstdCompressor().compress(b"foo bar\n")
+        assert detect_compression_format(pyio.BytesIO(data)) == CompressionFormat.ZSTD
+
+    def test_none(self):
+        assert detect_compression_format(pyio.BytesIO(b"I'm not compressed")) == (
+            CompressionFormat.NONE
+        )
+
+    def test_restores_position(self):
+        buf = pyio.BytesIO(lzma.compress(b"foo bar\n"))
+        buf.seek(10)
+        detect_compression_format(buf)
+        assert buf.tell() == 10
+
+
+class TestReadId:
+    def test_no_comment(self):
+        assert read_id_from_header(b"SEQ_ID") == b"SEQ_ID"
+
+    def test_with_comment(self):
+        assert read_id_from_header(b"SEQ_ID comment") == b"SEQ_ID"
+
+    def test_with_empty_comment(self):
+        assert read_id_from_header(b"SEQ_ID ") == b"SEQ_ID"
+
+    def test_multiple_spaces(self):
+        assert read_id_from_header(b"SEQ_ID   comment") == b"SEQ_ID"
+
+    def test_with_tabs(self):
+        hdr = b"SEQ_ID\tst:Z:2024-06-05T11:34:21.517+00:00\tRG:Z:abc"
+        assert read_id_from_header(hdr) == b"SEQ_ID"
+
+
+class TestFastx:
+    def test_fastq(self, tmp_path):
+        p = tmp_path / "reads.fq"
+        p.write_bytes(FASTQ)
+        recs = _collect(p)
+        assert recs == [(b"r1", b"ACGTACGT"), (b"r2", b"GGGGCCCC")]
+        assert count_records(p) == 2
+
+    def test_fasta_multiline(self, tmp_path):
+        p = tmp_path / "reads.fa"
+        p.write_bytes(FASTA)
+        recs = _collect(p)
+        assert recs == [(b"r1", b"ACGTACGT"), (b"r2", b"GGGGCCCC")]
+
+    @pytest.mark.parametrize(
+        "ext,comp",
+        [
+            ("gz", gzip.compress),
+            ("bz2", bz2.compress),
+            ("xz", lzma.compress),
+        ],
+    )
+    def test_compressed_fastq(self, tmp_path, ext, comp):
+        p = tmp_path / f"reads.fq.{ext}"
+        p.write_bytes(comp(FASTQ))
+        assert _collect(p) == [(b"r1", b"ACGTACGT"), (b"r2", b"GGGGCCCC")]
+
+    def test_zstd_fastq(self, tmp_path):
+        import zstandard
+
+        p = tmp_path / "reads.fq.zst"
+        p.write_bytes(zstandard.ZstdCompressor().compress(FASTQ))
+        assert _collect(p) == [(b"r1", b"ACGTACGT"), (b"r2", b"GGGGCCCC")]
+
+    def test_empty_file_errors(self, tmp_path):
+        p = tmp_path / "empty.fq"
+        p.write_bytes(b"")
+        with pytest.raises(IoError, match="empty"):
+            count_records(p)
+
+    def test_malformed_fastq(self, tmp_path):
+        p = tmp_path / "bad.fq"
+        p.write_bytes(b"@r1\nACGT\nNOPLUS\nIIII\n")
+        with pytest.raises(FastqParseError):
+            _collect(p)
+
+
+class TestSam:
+    def test_unaligned_sam(self, tmp_path):
+        p = tmp_path / "u.sam"
+        p.write_bytes(b"@HD\tVN:1.6\tSO:unsorted\nREAD1\t4\t*\t0\t0\t*\t*\t0\t0\tGATTA\t!!!!!\n")
+        assert _collect(p) == [(b"READ1", b"GATTA")]
+
+    def test_mapped_sam_rejected(self, tmp_path):
+        p = tmp_path / "m.sam"
+        p.write_bytes(
+            b"@HD\tVN:1.6\tSO:unsorted\n@SQ\tSN:chr1\tLN:1000\n"
+            b"READ1\t0\tchr1\t1\t0\t5M\t*\t0\t0\tGATTA\t!!!!!\n"
+        )
+        with pytest.raises(IoError, match="Mapped records are not supported"):
+            _collect(p)
+
+
+class TestBam:
+    def test_roundtrip(self, tmp_path):
+        p = tmp_path / "u.bam"
+        records = [(b"READ1", b"GATTACA"), (b"READ2", b"ACGTACGTAC")]
+        write_unaligned_bam(p, records)
+        assert _collect(p) == records
+        assert count_records(p) == 2
+
+    def test_mapped_bam_rejected(self, tmp_path):
+        import struct
+
+        from lrge_tpu.io.bam import _SEQ_CODES, _bgzf_block, _BGZF_EOF
+
+        # hand-build a BAM with a mapped record (flag=0)
+        body = bytearray(b"BAM\x01")
+        text = b"@HD\tVN:1.6\n"
+        body += struct.pack("<i", len(text)) + text
+        body += struct.pack("<i", 0)
+        rec = struct.pack("<iiBBHHHiiii", -1, -1, 6, 255, 0, 0, 0x0, 4, -1, -1, 0)
+        rec += b"READ1\x00" + bytes(2) + b"\xff" * 4
+        body += struct.pack("<i", len(rec)) + rec
+        p = tmp_path / "m.bam"
+        p.write_bytes(_bgzf_block(bytes(body)) + _BGZF_EOF)
+        with pytest.raises(IoError, match="Mapped records are not supported"):
+            _collect(p)
+
+    def test_long_read_multiblock(self, tmp_path):
+        # force multiple BGZF blocks
+        p = tmp_path / "big.bam"
+        records = [(f"r{i}".encode(), b"ACGT" * 5000) for i in range(20)]
+        write_unaligned_bam(p, records)
+        assert _collect(p) == records
