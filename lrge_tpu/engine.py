@@ -1,0 +1,195 @@
+"""Overlap engine orchestration (host reference path).
+
+``OverlapEngine`` plays the role of the reference's ``AlignerWrapper`` +
+``mm_map`` (`liblrge/src/minimap2/aligner.rs:204-303`): given a target
+index, map one query read to a list of :class:`PafRecord`.  The host
+path runs the full backtracking pipeline (all chains, like minimap2's
+AVA mode which keeps every chain); the batched device path (counts
+only / best-chain-per-target) lives in ``ops.overlap_jax`` and must
+produce identical unique-target overlap counts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from .ops.chain import Anchors, Chain, backtrack, chain_dp, collect_anchors
+from .ops.encode import encode_seq
+from .ops.index import TargetIndex, build_index
+from .ops.sketch import sketch_read
+from .paf import PafRecord
+from .platform import OverlapParams
+
+MASK_LEVEL = 0.5  # minimap2 default -M (primary/secondary query-overlap)
+
+
+@dataclass
+class Mapping:
+    """Internal chain record before PAF formatting."""
+
+    rid: int
+    strand: int
+    qs: int
+    qe: int
+    rs: int
+    re: int
+    score: int
+    cnt: int
+    mlen: int
+    blen: int
+    tp: str = "P"
+
+
+def _chain_to_mapping(chain: Chain, anchors: Anchors, qlen: int) -> Mapping:
+    idx = chain.anchor_idx
+    first, last = int(idx[0]), int(idx[-1])
+    span_f = int(anchors.span[first])
+    rs = int(anchors.rpos[first]) + 1 - span_f
+    re = int(anchors.rpos[last]) + 1
+    qs_c = int(anchors.qpos[first]) + 1 - span_f
+    qe_c = int(anchors.qpos[last]) + 1
+    if chain.strand:
+        qs, qe = qlen - qe_c, qlen - qs_c
+    else:
+        qs, qe = qs_c, qe_c
+    # mlen/blen from consecutive anchor gaps (mm_gen_regs accounting)
+    mlen = blen = span_f
+    qp = anchors.qpos[idx].astype(np.int64)
+    rp = anchors.rpos[idx].astype(np.int64)
+    sp = anchors.span[idx].astype(np.int64)
+    if len(idx) > 1:
+        dq = np.diff(qp)
+        dr = np.diff(rp)
+        minl = np.minimum(dq, dr)
+        maxl = np.maximum(dq, dr)
+        mlen += int(np.minimum(minl, sp[1:]).sum())
+        blen += int(maxl.sum())
+    return Mapping(
+        rid=chain.rid,
+        strand=chain.strand,
+        qs=qs,
+        qe=qe,
+        rs=rs,
+        re=re,
+        score=chain.score,
+        cnt=len(idx),
+        mlen=mlen,
+        blen=blen,
+    )
+
+
+def _set_parents(mappings: List[Mapping]) -> None:
+    """Primary/secondary marking by query-interval overlap.
+
+    Simplified ``mm_set_parent``: in score order, a mapping whose query
+    interval overlaps an existing primary by >= MASK_LEVEL of the
+    shorter interval becomes its secondary (``tp:A:S``); in minimap2's
+    AVA mode nothing is dropped (`map.c` skips ``mm_select_sub`` when
+    MM_F_AVA is set), so this only affects the tp tag.
+    """
+    primaries: List[Mapping] = []
+    for m in sorted(mappings, key=lambda m: -m.score):
+        parent = None
+        for pm in primaries:
+            lo = max(m.qs, pm.qs)
+            hi = min(m.qe, pm.qe)
+            if hi > lo:
+                minlen = min(m.qe - m.qs, pm.qe - pm.qs)
+                if minlen > 0 and (hi - lo) >= MASK_LEVEL * minlen:
+                    parent = pm
+                    break
+        if parent is None:
+            m.tp = "P"
+            primaries.append(m)
+        else:
+            m.tp = "S"
+
+
+class OverlapEngine:
+    """Maps query reads against a :class:`TargetIndex`."""
+
+    def __init__(self, index: TargetIndex):
+        self.index = index
+        self.params: OverlapParams = index.params
+        # name -> rid for the self mask; rank-in-target-order for no-dual
+        self._name_to_rid = {n: i for i, n in enumerate(index.names)}
+        self._sorted_names = sorted(index.names)
+
+    def _dual_rank(self, qname: bytes) -> int:
+        """Number of target names lexicographically smaller than qname."""
+        import bisect
+
+        return bisect.bisect_left(self._sorted_names, qname)
+
+    def map_read(self, qname: bytes, seq: bytes) -> List[PafRecord]:
+        """Map one query; returns all chains as PAF records (score desc)."""
+        codes = encode_seq(seq)
+        qlen = len(codes)
+        mz = sketch_read(codes, self.params.k, self.params.w, self.params.hpc)
+        if len(mz.key) == 0:
+            return []
+        anchors, rep_len = collect_anchors(
+            self.index,
+            mz.key,
+            mz.pos.astype(np.int32),
+            mz.strand.astype(np.int8),
+            qlen,
+            qdualrank=self._dual_rank(qname) if self.params.no_dual else None,
+            qselfrid=self._name_to_rid.get(qname, -1),
+        )
+        if len(anchors) == 0:
+            return []
+        f, p = chain_dp(anchors, self.params)
+        chains = backtrack(f, p, anchors, self.params)
+        if not chains:
+            return []
+        mappings = [_chain_to_mapping(c, anchors, qlen) for c in chains]
+        _set_parents(mappings)
+        # dv: sequence-divergence estimate from minimizer retention
+        # (approximation of minimap2's mm_est_err; refine for parity)
+        qpos_sorted = np.sort(mz.pos)
+        records = []
+        for m in mappings:
+            n_window = int(
+                np.searchsorted(qpos_sorted, m.qe) - np.searchsorted(qpos_sorted, m.qs)
+            )
+            if n_window > 0 and m.cnt < n_window:
+                dv = float(1.0 - (m.cnt / n_window) ** (1.0 / self.params.k))
+            else:
+                dv = 0.0
+            records.append(
+                PafRecord(
+                    query_name=qname,
+                    query_len=qlen,
+                    query_start=m.qs,
+                    query_end=m.qe,
+                    strand="-" if m.strand else "+",
+                    target_name=self.index.names[m.rid],
+                    target_len=int(self.index.lengths[m.rid]),
+                    target_start=m.rs,
+                    target_end=m.re,
+                    match_len=m.mlen,
+                    block_len=m.blen,
+                    mapq=0,
+                    tp=m.tp,
+                    cm=m.cnt,
+                    s1=m.score,
+                    dv=dv,
+                    rl=rep_len,
+                )
+            )
+        records.sort(key=lambda r: -r.s1)
+        return records
+
+    def count_overlaps(self, qname: bytes, seq: bytes) -> tuple[int, int]:
+        """(unique target overlaps, had_any_mapping) for one query."""
+        recs = self.map_read(qname, seq)
+        uniq = {r.target_name for r in recs}
+        return len(uniq), int(bool(recs))
+
+
+def build_engine(seqs, names, params: OverlapParams) -> OverlapEngine:
+    return OverlapEngine(build_index(seqs, names, params))

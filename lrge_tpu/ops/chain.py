@@ -1,0 +1,247 @@
+"""Colinear anchor chaining — host reference implementation.
+
+Reproduces the semantics of minimap2 2.x's chaining stage
+(`lchain.c` ``mm_chain_dp`` + ``mm_chain_backtrack``) as exercised by
+the reference via ``mm_map`` (SURVEY.md C15):
+
+* anchors sorted by (rid, strand, target pos), stable in seed order;
+* DP: ``f[i] = max(span_i, max_j f[j] + sc(i,j))`` over predecessors
+  within ``max_gap`` on both axes and ``bw`` band, gap penalty
+  ``chn_pen_gap*dd + 0.5*log2(dd+1)`` evaluated in f32 and truncated;
+* backtracking extracts chains in descending score order, each anchor
+  used once; chains kept when ``score >= min_chain_score`` and
+  ``cnt >= min_cnt``.
+
+Known divergences from minimap2 (tracked for later tightening): the
+``max_chain_skip`` early-break heuristic is not modelled (it can only
+*lose* chains in minimap2; scores of surviving chains are identical),
+and the query-side repetitive-seed filter (``q_occ_frac``) is not
+applied.
+
+This host engine is the correctness oracle for the device pipeline and
+the production path for the PacBio preset until its device port lands.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ..platform import OverlapParams
+
+NEG_INF = np.iinfo(np.int32).min
+
+
+def mg_log2(x: np.ndarray) -> np.ndarray:
+    """minimap2's fast approximate log2 (f32 bit trick), vectorised."""
+    z = np.asarray(x, dtype=np.float32)
+    bits = z.view(np.uint32).copy()
+    log2 = ((bits >> 23) & 255).astype(np.float32) - 128.0
+    bits = (bits & ~np.uint32(255 << 23)) + np.uint32(127 << 23)
+    zf = bits.view(np.float32)
+    return (
+        log2 + (np.float32(-0.34484843) * zf + np.float32(2.02466578)) * zf
+        - np.float32(0.67487759)
+    ).astype(np.float32)
+
+
+@dataclass
+class Anchors:
+    """Per-query anchor set, sorted by (rid, strand, rpos)."""
+
+    rid: np.ndarray  # int32 target id
+    rpos: np.ndarray  # int32 target k-mer end position
+    qpos: np.ndarray  # int32 query k-mer end position (chaining coords)
+    strand: np.ndarray  # int8 relative strand (0 fwd, 1 rev)
+    span: np.ndarray  # int32 k-mer span (query minimizer span)
+
+    def __len__(self) -> int:
+        return len(self.rid)
+
+
+def collect_anchors(
+    index,
+    qkey: np.ndarray,
+    qpos: np.ndarray,
+    qstrand: np.ndarray,
+    qlen: int,
+    *,
+    qdualrank: Optional[int] = None,
+    qselfrid: Optional[int] = None,
+) -> tuple[Anchors, int]:
+    """Look up query minimizers and build the sorted anchor array.
+
+    Mirrors minimap2's seed collection: minimizers with target occurrence
+    above ``mid_occ`` are dropped (``-e0`` presets) and contribute to
+    ``rep_len``; the no-dual mask skips targets whose name sorts before
+    the query's (`aligner.rs:89-103` semantics), and the no-diag mask
+    skips exact self-diagonal hits.  Returns ``(anchors, rep_len)``.
+    """
+    params: OverlapParams = index.params
+    hashes = qkey >> np.uint64(8)
+    spans = (qkey & np.uint64(0xFF)).astype(np.int32)
+    start, occ = index.occurrence(hashes)
+    dropped = occ > index.mid_occ
+    keep = (~dropped) & (occ > 0)
+    # rep_len: merged intervals of repetitive query seeds (rl:i tag)
+    rep_len = 0
+    if dropped.any():
+        dstart = qpos[dropped] - spans[dropped] + 1
+        dend = qpos[dropped] + 1
+        order = np.argsort(dstart, kind="stable")
+        cur_s = cur_e = None
+        for s, e in zip(dstart[order], dend[order]):
+            if cur_s is None:
+                cur_s, cur_e = s, e
+            elif s <= cur_e:
+                cur_e = max(cur_e, e)
+            else:
+                rep_len += cur_e - cur_s
+                cur_s, cur_e = s, e
+        if cur_s is not None:
+            rep_len += cur_e - cur_s
+
+    idxs = np.flatnonzero(keep)
+    total = int(occ[idxs].sum())
+    rid = np.empty(total, dtype=np.int32)
+    rpos = np.empty(total, dtype=np.int32)
+    qp = np.empty(total, dtype=np.int32)
+    strand = np.empty(total, dtype=np.int8)
+    span_arr = np.empty(total, dtype=np.int32)
+    off = 0
+    for m in idxs:
+        s, n = int(start[m]), int(occ[m])
+        sl = slice(off, off + n)
+        rid[sl] = index.rid[s : s + n]
+        rpos[sl] = index.pos[s : s + n]
+        rel = index.strand[s : s + n].astype(np.int8) ^ np.int8(qstrand[m])
+        strand[sl] = rel
+        span_arr[sl] = spans[m]
+        # chaining coords: forward keeps the query end position; reverse
+        # flips to the end position on the reverse-complemented query
+        fwd_q = qpos[m]
+        rev_q = qlen - (qpos[m] + 1 - spans[m]) - 1
+        qp[sl] = np.where(rel == 0, fwd_q, rev_q)
+        off += n
+
+    mask = np.ones(total, dtype=bool)
+    if params.no_dual and qdualrank is not None:
+        mask &= ~(index.name_rank[rid] < qdualrank)
+    if params.no_diag and qselfrid is not None and qselfrid >= 0:
+        mask &= ~((rid == qselfrid) & (strand == 0) & (rpos == qp))
+    rid, rpos, qp, strand, span_arr = (
+        rid[mask],
+        rpos[mask],
+        qp[mask],
+        strand[mask],
+        span_arr[mask],
+    )
+    order = np.lexsort((rpos, strand, rid))
+    return (
+        Anchors(
+            rid=rid[order],
+            rpos=rpos[order],
+            qpos=qp[order],
+            strand=strand[order],
+            span=span_arr[order],
+        ),
+        rep_len,
+    )
+
+
+def chain_dp(anchors: Anchors, params: OverlapParams) -> tuple[np.ndarray, np.ndarray]:
+    """The chaining DP; returns (f, p) score and predecessor arrays."""
+    n = len(anchors)
+    f = np.zeros(n, dtype=np.int64)
+    p = np.full(n, -1, dtype=np.int64)
+    if n == 0:
+        return f, p
+    rid = anchors.rid.astype(np.int64)
+    st_key = rid * 2 + anchors.strand  # same (rid, strand) group
+    rpos = anchors.rpos.astype(np.int64)
+    qpos = anchors.qpos.astype(np.int64)
+    span = anchors.span.astype(np.int64)
+    pen_gap = np.float32(params.chn_pen_gap())
+    pen_skip = np.float32(params.chn_pen_skip())
+    max_gap = params.max_gap
+    bw = params.bw
+    st = 0
+    for i in range(n):
+        while st < i and (st_key[st] != st_key[i] or rpos[i] > rpos[st] + max_gap):
+            st += 1
+        lo = max(st, i - params.max_chain_iter)
+        best = span[i]
+        bestj = -1
+        if lo < i:
+            j = np.arange(lo, i)
+            dq = qpos[i] - qpos[j]
+            dr = rpos[i] - rpos[j]
+            dd = np.abs(dr - dq)
+            dg = np.minimum(dq, dr)
+            sc = np.minimum(dg, span[j])
+            pen_mask = (dd != 0) | (dg > span[j])
+            lin = pen_gap * dd.astype(np.float32) + pen_skip * dg.astype(np.float32)
+            logp = np.where(dd >= 1, mg_log2((dd + 1).astype(np.float32)), np.float32(0.0))
+            pen = (lin + np.float32(0.5) * logp).astype(np.float32).astype(np.int64)
+            sc = np.where(pen_mask, sc - pen, sc)
+            ok = (dq > 0) & (dq <= max_gap) & (dr != 0) & (dd <= bw)
+            cand = np.where(ok, sc + f[j], NEG_INF)
+            # ties keep the largest j (minimap2 scans j descending, first hit)
+            k = len(cand) - 1 - int(np.argmax(cand[::-1]))
+            if cand[k] > best:
+                best = cand[k]
+                bestj = lo + k
+        f[i] = best
+        p[i] = bestj
+    return f, p
+
+
+@dataclass
+class Chain:
+    """One backtracked chain (a future PAF row)."""
+
+    score: int
+    anchor_idx: np.ndarray  # ascending anchor indices
+    rid: int
+    strand: int
+
+
+def backtrack(
+    f: np.ndarray, p: np.ndarray, anchors: Anchors, params: OverlapParams
+) -> List[Chain]:
+    """``mm_chain_backtrack``: peel chains in descending score order."""
+    min_sc = params.min_chain_score
+    min_cnt = params.min_cnt
+    cand = np.flatnonzero(f >= min_sc)
+    if len(cand) == 0:
+        return []
+    # sort by f ascending then iterate descending (stable → larger index
+    # first among equal scores, matching the radix sort + reverse walk)
+    order = cand[np.argsort(f[cand], kind="stable")][::-1]
+    used = np.zeros(len(f), dtype=bool)
+    chains: List[Chain] = []
+    for end in order:
+        if used[end]:
+            continue
+        path = []
+        i = int(end)
+        while i >= 0 and not used[i]:
+            path.append(i)
+            used[i] = True
+            i = int(p[i])
+        sc = int(f[end]) if i < 0 else int(f[end] - f[i])
+        if sc >= min_sc and len(path) >= min_cnt:
+            idx = np.array(path[::-1], dtype=np.int64)
+            chains.append(
+                Chain(
+                    score=sc,
+                    anchor_idx=idx,
+                    rid=int(anchors.rid[idx[0]]),
+                    strand=int(anchors.strand[idx[0]]),
+                )
+            )
+        # NOTE: anchors of discarded chains stay marked, matching the C
+        # loop (t[i] is never reverted) — they cannot seed later chains.
+    return chains

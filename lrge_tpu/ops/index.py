@@ -1,0 +1,121 @@
+"""Target minimizer index: an array-relational design.
+
+Where minimap2 builds a bucketed hash table (`index.c`), the TPU-native
+design is a *sorted postings array*: minimizer hashes sorted ascending
+with parallel (rid, pos, strand) arrays.  Lookup is a batched binary
+search (``searchsorted``) — branch-free, fully vectorisable, and
+shardable across devices by hash range or by target shard.
+
+The occurrence cutoff reproduces ``mm_idx_cal_max_occ`` +
+``mm_mapopt_update`` (SURVEY.md C15): ``thres`` is the
+``floor((1-f)*n_distinct)``-th smallest per-distinct-minimizer count
+plus one, clamped to ``[min_mid_occ, max_mid_occ]``; query seeds whose
+target occurrence exceeds ``mid_occ`` are dropped (the ava presets use
+``-e0``, so no high-frequency sampling).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import numpy as np
+
+from ..platform import OverlapParams
+from .encode import encode_seq
+from .sketch import sketch_read
+
+
+@dataclass
+class TargetIndex:
+    """Device-friendly sorted minimizer index over the target read set."""
+
+    keys: np.ndarray  # [N] uint64 minimizer hash, sorted ascending
+    rid: np.ndarray  # [N] int32 target read id
+    pos: np.ndarray  # [N] int32 position of k-mer end on target
+    strand: np.ndarray  # [N] int8
+    names: list  # [T] target read names (bytes)
+    lengths: np.ndarray  # [T] int32 target read lengths
+    mid_occ: int
+    params: OverlapParams
+    # lexicographic order of names, used for the dual/self masks
+    name_rank: np.ndarray = field(default=None)  # [T] int32
+
+    @property
+    def n_targets(self) -> int:
+        return len(self.names)
+
+    def occurrence(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(start, count) of each query hash in the postings array."""
+        start = np.searchsorted(self.keys, hashes, side="left")
+        end = np.searchsorted(self.keys, hashes, side="right")
+        return start, end - start
+
+
+def calc_mid_occ(counts_per_distinct: np.ndarray, params: OverlapParams) -> int:
+    """``mm_idx_cal_max_occ`` + the ``mm_mapopt_update`` clamps."""
+    n = len(counts_per_distinct)
+    if params.mid_occ_frac <= 0 or n == 0:
+        return np.iinfo(np.int32).max
+    kth = int((1.0 - params.mid_occ_frac) * n)
+    kth = min(kth, n - 1)
+    thres = int(np.partition(counts_per_distinct, kth)[kth]) + 1
+    mid_occ = max(thres, params.min_mid_occ)
+    if params.max_mid_occ > params.min_mid_occ:
+        mid_occ = min(mid_occ, params.max_mid_occ)
+    return mid_occ
+
+
+def build_index(
+    seqs: Sequence[bytes],
+    names: Sequence[bytes],
+    params: OverlapParams,
+) -> TargetIndex:
+    """Sketch all target reads and build the sorted postings index."""
+    all_keys = []
+    all_rid = []
+    all_pos = []
+    all_strand = []
+    lengths = np.empty(len(seqs), dtype=np.int32)
+    for rid, seq in enumerate(seqs):
+        codes = encode_seq(seq)
+        lengths[rid] = len(codes)
+        mz = sketch_read(codes, params.k, params.w, params.hpc)
+        if len(mz.key) == 0:
+            continue
+        all_keys.append(mz.key >> np.uint64(8))  # index matches on hash only
+        all_rid.append(np.full(len(mz.key), rid, dtype=np.int32))
+        all_pos.append(mz.pos.astype(np.int32))
+        all_strand.append(mz.strand.astype(np.int8))
+    if all_keys:
+        keys = np.concatenate(all_keys)
+        rid = np.concatenate(all_rid)
+        pos = np.concatenate(all_pos)
+        strand = np.concatenate(all_strand)
+    else:
+        keys = np.empty(0, dtype=np.uint64)
+        rid = np.empty(0, dtype=np.int32)
+        pos = np.empty(0, dtype=np.int32)
+        strand = np.empty(0, dtype=np.int8)
+    # sort by (hash, rid, pos): stable ordering matches the reference's
+    # per-minimizer postings sorted by target position
+    order = np.lexsort((pos, rid, keys))
+    keys, rid, pos, strand = keys[order], rid[order], pos[order], strand[order]
+    # per-distinct counts for the occurrence cutoff
+    if len(keys):
+        _, counts = np.unique(keys, return_counts=True)
+    else:
+        counts = np.empty(0, dtype=np.int64)
+    mid_occ = calc_mid_occ(counts, params)
+    name_rank = np.argsort(np.argsort(np.array(names, dtype=object), kind="stable"), kind="stable")
+    return TargetIndex(
+        keys=keys,
+        rid=rid,
+        pos=pos,
+        strand=strand,
+        names=list(names),
+        lengths=lengths,
+        mid_occ=mid_occ,
+        params=params,
+        name_rank=name_rank.astype(np.int32),
+    )

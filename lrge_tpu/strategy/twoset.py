@@ -1,0 +1,302 @@
+"""Two-set estimation strategy.
+
+Reproduces `liblrge/src/twoset.rs`: subsample disjoint target and query
+read sets, build an index over the targets, count per-query unique
+target overlaps, and convert each count to a genome-size estimate.
+
+Orchestration parity notes (file:line refer to the reference):
+
+* read counting + u32 limit + too-few-reads shrink: `twoset.rs:122-151`
+* one-draw-then-split sampling: `twoset.rs:153-155` (target set = the
+  *last* ``target_num_reads`` sampled indices, `twoset.rs:632-652`)
+* intermediate artifacts ``target.fa``/``query.fa``/``overlaps.paf`` in
+  the temp dir: `twoset.rs:157-200,244`
+* per-read estimate inline with unique-target counting and optional
+  internal-overlap filtering: `twoset.rs:286-317`
+* ``--use-min-ref``: index the smaller set by base count and stream the
+  other (`twoset.rs:370-584`), including its inverted overhang filter
+  (`twoset.rs:493-517` drops overhang-heavy overlaps, the opposite of
+  `mapping.rs:59-77` — a reference asymmetry preserved deliberately).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import tempfile
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from .. import io as lio
+from ..compat.rust_rand import split_into_sets, unique_random_set
+from ..engine import OverlapEngine
+from ..errors import DuplicateReadIdentifierError, TooFewReadsError, TooManyReadsError
+from ..estimate import Estimate, per_read_estimate
+from ..ops.index import build_index
+from ..platform import Platform, preset_for
+
+logger = logging.getLogger("lrge")
+
+DEFAULT_TARGET_NUM_READS = 10_000
+DEFAULT_QUERY_NUM_READS = 5_000
+
+U32_MAX = 0xFFFFFFFF
+
+
+class TwoSetStrategy(Estimate):
+    def __init__(
+        self,
+        input_path: os.PathLike | str,
+        *,
+        target_num_reads: int = DEFAULT_TARGET_NUM_READS,
+        query_num_reads: int = DEFAULT_QUERY_NUM_READS,
+        remove_internal: bool = False,
+        max_overhang_ratio: float = 0.2,
+        use_min_ref: bool = False,
+        tmpdir: Optional[os.PathLike | str] = None,
+        threads: int = 1,
+        seed: Optional[int] = None,
+        platform: Platform = Platform.NANOPORE,
+    ):
+        self.input = Path(input_path)
+        self.target_num_reads = target_num_reads
+        self.query_num_reads = query_num_reads
+        self.target_num_bases = 0
+        self.query_num_bases = 0
+        self.remove_internal = remove_internal
+        self.max_overhang_ratio = max_overhang_ratio
+        self.use_min_ref = use_min_ref
+        self.tmpdir = Path(tmpdir) if tmpdir is not None else Path(tempfile.gettempdir())
+        self.threads = threads
+        self.seed = seed
+        self.platform = platform
+
+    # -- subsampling ---------------------------------------------------
+
+    def split_fastq(self):
+        """Select target/query reads in a single streaming pass.
+
+        Returns ``(targets, queries, avg_target_len)`` where each element
+        is a list of ``(name, seq)``; also writes ``target.fa`` and
+        ``query.fa`` to the temp dir like the reference.
+        """
+        logger.debug("Counting records in input file...")
+        n_reads = lio.count_records(self.input)
+        logger.debug("Found %d reads in input file", n_reads)
+        if n_reads > U32_MAX:
+            raise TooManyReadsError(
+                f"Number of reads in input file ({n_reads}) exceeds maximum "
+                f"allowed value ({U32_MAX})"
+            )
+        n_req = self.target_num_reads + self.query_num_reads
+        if n_reads <= self.query_num_reads:
+            raise TooFewReadsError(
+                f"Number of reads in input file ({n_reads}) is <= query "
+                f"number of reads ({self.query_num_reads})"
+            )
+        elif n_reads < n_req:
+            logger.warning(
+                "Number of reads in input file (%d) is less than the sum of "
+                "target and query reads (%d)",
+                n_reads,
+                n_req,
+            )
+            self.target_num_reads = n_reads - self.query_num_reads
+            n_req = n_reads
+            logger.warning("Using %d target reads", self.target_num_reads)
+
+        indices = unique_random_set(n_req, n_reads, self.seed)
+        target_idx, query_idx = split_into_sets(indices, self.target_num_reads)
+
+        targets: list[tuple[bytes, bytes]] = []
+        queries: list[tuple[bytes, bytes]] = []
+        sum_target = 0
+        sum_query = 0
+        target_path = self.tmpdir / "target.fa"
+        query_path = self.tmpdir / "query.fa"
+        self.tmpdir.mkdir(parents=True, exist_ok=True)
+        with open(target_path, "wb") as tf, open(query_path, "wb") as qf:
+            for idx, (name, seq) in enumerate(lio.iter_records(self.input)):
+                if idx in target_idx:
+                    target_idx.discard(idx)
+                    tf.write(b">" + name + b"\n" + seq + b"\n")
+                    targets.append((name, seq))
+                    sum_target += len(seq)
+                elif idx in query_idx:
+                    query_idx.discard(idx)
+                    qf.write(b">" + name + b"\n" + seq + b"\n")
+                    queries.append((name, seq))
+                    sum_query += len(seq)
+        self.target_num_bases = sum_target
+        self.query_num_bases = sum_query
+        avg_target_len = np.float32(sum_target) / np.float32(self.target_num_reads)
+        logger.debug("Total target bases: %d", sum_target)
+        logger.debug("Total query bases: %d", sum_query)
+        return targets, queries, float(avg_target_len)
+
+    # -- alignment + estimation ---------------------------------------
+
+    def _build_engine(self, reads):
+        params = preset_for(self.platform, dual=True)
+        names = [n for n, _ in reads]
+        if len(set(names)) != len(names):
+            seen = set()
+            for n in names:
+                if n in seen:
+                    raise DuplicateReadIdentifierError(n.decode("utf-8", "replace"))
+                seen.add(n)
+        index = build_index([s for _, s in reads], names, params)
+        return OverlapEngine(index)
+
+    def generate_estimates(self):
+        targets, queries, avg_target_len = self.split_fastq()
+        if self.use_min_ref and self.target_num_bases > self.query_num_bases:
+            return self._align_reads_inverse(targets, queries, avg_target_len)
+        return self._align_reads(targets, queries, avg_target_len)
+
+    def _align_reads(self, targets, queries, avg_target_len):
+        """Default direction: index targets, stream queries
+        (`twoset.rs:204-367`)."""
+        engine = self._build_engine(targets)
+        overlap_threshold = engine.params.min_chain_score
+        estimates = np.empty(len(queries), dtype=np.float32)
+        no_mapping_count = 0
+        paf_path = self.tmpdir / "overlaps.paf"
+        with open(paf_path, "w") as paf:
+            for qi, (qname, seq) in enumerate(queries):
+                mappings = engine.map_read(qname, seq)
+                unique = set()
+                if mappings:
+                    for m in mappings:
+                        paf.write(m.to_line() + "\n")
+                        if self.remove_internal and m.is_internal(self.max_overhang_ratio):
+                            continue
+                        unique.add(m.target_name)
+                else:
+                    logger.debug("No overlaps found for read: %s", qname)
+                    no_mapping_count += 1
+                est = per_read_estimate(
+                    len(seq),
+                    avg_target_len,
+                    self.target_num_reads,
+                    len(unique),
+                    overlap_threshold,
+                )
+                estimates[qi] = est
+        self._log_no_mapping(no_mapping_count, len(queries))
+        return estimates, no_mapping_count
+
+    def _align_reads_inverse(self, targets, queries, avg_target_len):
+        """--use-min-ref direction: index queries, stream targets
+        (`twoset.rs:370-584`)."""
+        engine = self._build_engine(queries)
+        overlap_threshold = engine.params.min_chain_score
+        read_lengths = {}
+        ovlap_counter = {}
+        for qname, seq in queries:
+            if qname in read_lengths:
+                raise DuplicateReadIdentifierError(qname.decode("utf-8", "replace"))
+            read_lengths[qname] = len(seq)
+            ovlap_counter[qname] = 0
+        paf_path = self.tmpdir / "overlaps.paf"
+        with open(paf_path, "w") as paf:
+            for tname, seq in targets:
+                mappings = engine.map_read(tname, seq)
+                unique = set()
+                for m in mappings:
+                    paf.write(m.to_line() + "\n")
+                    if m.target_name in unique:
+                        continue
+                    if self.remove_internal:
+                        # NOTE reference asymmetry (`twoset.rs:493-517`):
+                        # this path drops overhang-HEAVY overlaps
+                        # (overhang > maplen*ratio), the opposite of
+                        # is_internal.
+                        if m.strand == "+":
+                            overhang = min(m.query_start, m.target_start) + min(
+                                m.query_len - m.query_end, m.target_len - m.target_end
+                            )
+                        else:
+                            overhang = min(
+                                m.query_start, m.target_len - m.target_end
+                            ) + min(m.query_len - m.query_end, m.target_start)
+                        maplen = max(
+                            m.query_end - m.query_start, m.target_end - m.target_start
+                        )
+                        if overhang > int(np.float32(maplen) * np.float32(self.max_overhang_ratio)):
+                            continue
+                    ovlap_counter[m.target_name] += 1
+                    unique.add(m.target_name)
+        no_mapping_count = 0
+        estimates = np.empty(len(ovlap_counter), dtype=np.float32)
+        for i, (rid_name, n_ovlaps) in enumerate(ovlap_counter.items()):
+            if n_ovlaps == 0:
+                no_mapping_count += 1
+                est = float("inf")
+            else:
+                est = per_read_estimate(
+                    read_lengths[rid_name],
+                    avg_target_len,
+                    self.target_num_reads,
+                    n_ovlaps,
+                    overlap_threshold,
+                )
+            estimates[i] = est
+        self._log_no_mapping(no_mapping_count, len(queries))
+        return estimates, no_mapping_count
+
+    def _log_no_mapping(self, count, total):
+        if count > 0:
+            pct = count / total * 100.0
+            logger.info(
+                "%d (%.2f%%) query read(s) did not overlap any target reads", count, pct
+            )
+        else:
+            logger.debug("All query reads overlapped with target reads")
+
+
+class TwoSetBuilder:
+    """Builder mirroring `liblrge/src/twoset/builder.rs`."""
+
+    def __init__(self):
+        self._kw = {}
+
+    def target_num_reads(self, n: int) -> "TwoSetBuilder":
+        self._kw["target_num_reads"] = n
+        return self
+
+    def query_num_reads(self, n: int) -> "TwoSetBuilder":
+        self._kw["query_num_reads"] = n
+        return self
+
+    def remove_internal(self, yes: bool, max_overhang_ratio: float = 0.2) -> "TwoSetBuilder":
+        self._kw["remove_internal"] = yes
+        self._kw["max_overhang_ratio"] = max_overhang_ratio
+        return self
+
+    def use_min_ref(self, yes: bool) -> "TwoSetBuilder":
+        self._kw["use_min_ref"] = yes
+        return self
+
+    def threads(self, n: int) -> "TwoSetBuilder":
+        self._kw["threads"] = n
+        return self
+
+    def tmpdir(self, path) -> "TwoSetBuilder":
+        self._kw["tmpdir"] = path
+        return self
+
+    def seed(self, seed: Optional[int]) -> "TwoSetBuilder":
+        self._kw["seed"] = seed
+        return self
+
+    def platform(self, platform: Platform | str) -> "TwoSetBuilder":
+        if isinstance(platform, str):
+            platform = Platform.from_str(platform)
+        self._kw["platform"] = platform
+        return self
+
+    def build(self, input_path) -> TwoSetStrategy:
+        return TwoSetStrategy(input_path, **self._kw)

@@ -1,0 +1,157 @@
+"""Host overlap-engine tests on synthetic genomes."""
+
+import numpy as np
+import pytest
+
+from lrge_tpu.engine import build_engine
+from lrge_tpu.platform import AVA_ONT, AVA_PB, OverlapParams, preset_for, Platform
+
+RC = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+def revcomp(seq: bytes) -> bytes:
+    return seq.translate(RC)[::-1]
+
+
+def make_genome(rng, n):
+    return bytes(rng.choice(list(b"ACGT"), size=n).tolist())
+
+
+def sample_read(rng, genome, length, pos=None, rev=None, err=0.0):
+    if pos is None:
+        pos = int(rng.integers(0, len(genome) - length))
+    seq = genome[pos : pos + length]
+    if err > 0:
+        arr = bytearray(seq)
+        for i in range(len(arr)):
+            if rng.random() < err:
+                arr[i] = int(rng.choice(list(b"ACGT")))
+        seq = bytes(arr)
+    if rev is None:
+        rev = bool(rng.integers(0, 2))
+    return (revcomp(seq) if rev else seq), pos, rev
+
+
+@pytest.fixture(scope="module")
+def small_engine():
+    rng = np.random.default_rng(42)
+    genome = make_genome(rng, 50_000)
+    targets = []
+    names = []
+    rng2 = np.random.default_rng(7)
+    for i in range(60):
+        seq, pos, rev = sample_read(rng2, genome, 2000)
+        targets.append(seq)
+        names.append(f"t{i}_p{pos}_{int(rev)}".encode())
+    params = preset_for(Platform.NANOPORE, dual=True)
+    return build_engine(targets, names, params), genome, targets, names
+
+
+class TestOverlapDetection:
+    def test_query_overlapping_target_found(self, small_engine):
+        engine, genome, targets, names = small_engine
+        # a query that physically overlaps target 0 by 1200bp
+        name0 = names[0]
+        pos0 = int(name0.split(b"_p")[1].split(b"_")[0])
+        qseq = genome[pos0 + 800 : pos0 + 800 + 2000]
+        recs = engine.map_read(b"query1", qseq)
+        assert any(r.target_name == name0 for r in recs), "expected overlap not found"
+        rec = next(r for r in recs if r.target_name == name0)
+        # overlap region is ~1200bp; coordinates should reflect that
+        assert rec.s1 >= 100
+        assert 900 < rec.query_end - rec.query_start < 1400
+        assert rec.cm >= 3
+
+    def test_reverse_strand_overlap(self, small_engine):
+        engine, genome, targets, names = small_engine
+        name0, t0 = names[0], targets[0]
+        qseq = revcomp(t0[500:1800])
+        recs = engine.map_read(b"rquery", qseq)
+        rec = next(r for r in recs if r.target_name == name0)
+        assert rec.strand == "-"
+        # the overlap covers most of the query
+        assert rec.query_end - rec.query_start > 1000
+        assert 400 < rec.target_start < 600
+        assert 1700 < rec.target_end < 1900
+
+    def test_unrelated_query_no_overlap(self, small_engine):
+        engine, *_ = small_engine
+        rng = np.random.default_rng(999)
+        qseq = make_genome(rng, 2000)  # random, unrelated
+        recs = engine.map_read(b"unrelated", qseq)
+        assert recs == []
+
+    def test_no_dual_mask(self, small_engine):
+        engine, genome, targets, names = small_engine
+        # query named after a target: with no_dual, targets with smaller
+        # names are skipped
+        from dataclasses import replace
+
+        from lrge_tpu.engine import OverlapEngine
+
+        nd_params = replace(engine.params, no_dual=True)
+        engine_nd = OverlapEngine(
+            type(engine.index)(
+                **{**engine.index.__dict__, "params": nd_params}
+            )
+        )
+        qname = names[30]
+        qseq = targets[30]
+        recs = engine_nd.map_read(qname, qseq)
+        smaller = {n for n in names if n < qname}
+        assert all(r.target_name not in smaller for r in recs)
+
+    def test_self_mapping_skipped_on_diagonal(self, small_engine):
+        engine, genome, targets, names = small_engine
+        # mapping a target against itself: the exact diagonal is masked,
+        # so either no self record or only off-diagonal (repeat) chains
+        recs = engine.map_read(names[5], targets[5])
+        for r in recs:
+            if r.target_name == names[5]:
+                # a full-diagonal self chain would span the whole read
+                assert not (
+                    r.query_start < 50
+                    and r.query_end > 1950
+                    and r.strand == "+"
+                    and abs(r.target_start - r.query_start) < 5
+                )
+
+    def test_counts_match_mapping_uniques(self, small_engine):
+        engine, genome, targets, names = small_engine
+        rng = np.random.default_rng(3)
+        for _ in range(5):
+            qseq, _, _ = sample_read(rng, genome, 3000)
+            recs = engine.map_read(b"q", qseq)
+            count, had = engine.count_overlaps(b"q", qseq)
+            assert count == len({r.target_name for r in recs})
+            assert had == int(bool(recs))
+
+
+class TestErrorTolerance:
+    def test_overlap_found_with_10pct_errors(self, small_engine):
+        engine, genome, targets, names = small_engine
+        rng = np.random.default_rng(12)
+        name0 = names[0]
+        pos0 = int(name0.split(b"_p")[1].split(b"_")[0])
+        found = 0
+        for _ in range(5):
+            qseq, _, _ = sample_read(rng, genome, 2000, pos=pos0, rev=False, err=0.05)
+            recs = engine.map_read(b"qe", qseq)
+            found += any(r.target_name == name0 for r in recs)
+        assert found >= 4  # 5% error reads overlap fully; expect detection
+
+
+class TestHpcPreset:
+    def test_pacbio_preset_end_to_end(self):
+        rng = np.random.default_rng(21)
+        genome = make_genome(rng, 20_000)
+        targets, names = [], []
+        for i in range(20):
+            seq, pos, rev = sample_read(rng, genome, 1500)
+            targets.append(seq)
+            names.append(f"p{i}".encode())
+        params = preset_for(Platform.PACBIO, dual=True)
+        engine = build_engine(targets, names, params)
+        q = targets[3][200:1400]
+        recs = engine.map_read(b"hpcq", q)
+        assert any(r.target_name == names[3] for r in recs)
