@@ -1,0 +1,251 @@
+"""Batched on-device overlap counting (JAX).
+
+The device pipeline for one query batch against a device-resident
+index (the hot loop the reference spends ~all CPU time in, `mm_map` via
+`aligner.rs:230-241`, recast TPU-first):
+
+1. **Seed lookup** — batched binary search of query minimizer hashes in
+   the sorted postings array; occurrence filter at ``mid_occ``.
+2. **Anchor expansion** — fixed-capacity ``[B, A]`` anchor buffer filled
+   by rank: anchor slot ``a`` maps to posting ``start[m] + (a -
+   cum[m-1])`` via a per-row ``searchsorted`` over the occurrence
+   prefix-sum.  No host ragged structures; overflow is reported so the
+   caller can retry that row with a bigger bucket (or the exact host
+   path).
+3. **Chaining DP** — ``lax.scan`` over anchor slots with a ``W``-wide
+   predecessor ring (newest-first), the same f32 gap penalty as the
+   host reference (`ops/chain.py`), masks for same-(rid,strand), gap and
+   band limits.
+4. **Per-target reduction** — segmented max over rid runs (anchors are
+   sorted by rid) with an associative scan; a target overlaps the query
+   iff its best chain score reaches ``min_chain_score``.  For non-HPC
+   presets ``min_cnt`` is implied (score >= 100 needs >= ceil(100/k) >=
+   min_cnt anchors), so no count tracking is needed on device.
+
+Counts are exact (equal to the host reference) whenever no anchor
+buffer overflow occurs and ``W`` covers the densest predecessor window;
+both conditions are reported per query so callers can fall back.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = jnp.int32(np.iinfo(np.int32).min // 2)  # headroom to avoid overflow
+IMAX = jnp.int32(np.iinfo(np.int32).max)
+
+
+def mg_log2_jax(x: jnp.ndarray) -> jnp.ndarray:
+    """minimap2's fast f32 log2 (bit trick), matching chain.mg_log2."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    log2 = ((bits >> 23) & 255).astype(jnp.float32) - 128.0
+    bits = (bits & jnp.uint32(~np.uint32(255 << 23))) + jnp.uint32(127 << 23)
+    zf = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    return log2 + (jnp.float32(-0.34484843) * zf + jnp.float32(2.02466578)) * zf - jnp.float32(
+        0.67487759
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "max_gap",
+        "bw",
+        "min_score",
+        "num_anchors",
+        "window",
+        "no_dual",
+        "no_diag",
+    ),
+)
+def map_batch_device(
+    idx_keys: jnp.ndarray,  # [N] int32 (hash ^ 0x80000000, sorted)
+    idx_rid: jnp.ndarray,  # [N] int32
+    idx_pos: jnp.ndarray,  # [N] int32
+    idx_strand: jnp.ndarray,  # [N] int32
+    idx_rank: jnp.ndarray,  # [T] int32 lexicographic name rank
+    mid_occ: jnp.ndarray,  # scalar int32
+    mhash: jnp.ndarray,  # [B, M] uint32 (0xFFFFFFFF padding)
+    mpos: jnp.ndarray,  # [B, M] int32
+    mstrand: jnp.ndarray,  # [B, M] int32
+    qlen: jnp.ndarray,  # [B] int32
+    qdualrank: jnp.ndarray,  # [B] int32
+    qselfrid: jnp.ndarray,  # [B] int32 (-1 = not a target)
+    chn_pen_gap: jnp.ndarray,  # f32 scalar
+    *,
+    k: int,
+    max_gap: int,
+    bw: int,
+    min_score: int,
+    num_anchors: int,
+    window: int,
+    no_dual: bool,
+    no_diag: bool,
+):
+    """Returns ``(counts [B], n_anchors [B], best_f [B,A], rid_sorted
+    [B,A])``; ``n_anchors`` > ``num_anchors`` flags overflow."""
+    B, M = mhash.shape
+    N = idx_keys.shape[0]
+    A = num_anchors
+    W = window
+
+    # ---- 1. lookup ----
+    qk = jax.lax.bitcast_convert_type(mhash ^ jnp.uint32(0x80000000), jnp.int32)
+    start = jnp.searchsorted(idx_keys, qk.ravel(), side="left").reshape(B, M)
+    end = jnp.searchsorted(idx_keys, qk.ravel(), side="right").reshape(B, M)
+    occ = (end - start).astype(jnp.int32)
+    occ = jnp.where(occ > mid_occ, 0, occ)
+
+    # ---- 2. anchor expansion ----
+    cum = jnp.cumsum(occ, axis=1)
+    total = cum[:, -1]
+    slots = jnp.arange(A, dtype=jnp.int32)
+    m_idx = jax.vmap(lambda c: jnp.searchsorted(c, slots, side="right"))(cum)
+    m_idx = jnp.minimum(m_idx, M - 1).astype(jnp.int32)
+    valid = slots[None, :] < jnp.minimum(total, A)[:, None]
+    prev_cum = jnp.take_along_axis(cum, m_idx, axis=1) - jnp.take_along_axis(occ, m_idx, axis=1)
+    p_idx = jnp.take_along_axis(start, m_idx, axis=1) + (slots[None, :] - prev_cum)
+    p_idx = jnp.clip(p_idx, 0, max(N - 1, 0))
+
+    rid = jnp.where(valid, idx_rid[p_idx], IMAX)
+    rpos = jnp.where(valid, idx_pos[p_idx], 0)
+    tstrand = idx_strand[p_idx]
+    qstr = jnp.take_along_axis(mstrand, m_idx, axis=1)
+    strand = jnp.where(valid, tstrand ^ qstr, 0)
+    mq = jnp.take_along_axis(mpos, m_idx, axis=1)
+    qpos_fwd = mq
+    qpos_rev = qlen[:, None] - mq + (k - 2)
+    qpos = jnp.where(strand == 0, qpos_fwd, qpos_rev)
+
+    # ---- masks (MM_F_NO_DUAL / no-diag, aligner.rs:89-103) ----
+    drop = jnp.zeros((B, A), dtype=bool)
+    if no_dual:
+        rank = idx_rank[jnp.clip(rid, 0, idx_rank.shape[0] - 1)]
+        drop = drop | (valid & (rank < qdualrank[:, None]))
+    if no_diag:
+        drop = drop | (
+            valid
+            & (rid == qselfrid[:, None])
+            & (strand == 0)
+            & (rpos == qpos)
+        )
+    valid = valid & ~drop
+    # pre-mask expansion size: rows with total > A were truncated and
+    # must be retried with a larger bucket / host path
+    n_anchors = total
+
+    rid = jnp.where(valid, rid, IMAX)
+    key2 = jnp.where(valid, rid * 2 + strand, IMAX)
+
+    # ---- sort by (rid,strand,rpos), stable in seed order ----
+    key2_s, rpos_s, qpos_s, rid_s = jax.lax.sort(
+        (key2, rpos, qpos, rid), dimension=1, num_keys=2, is_stable=True
+    )
+    valid_s = key2_s != IMAX
+
+    # ---- 3. chaining DP ----
+    span = jnp.int32(k)
+    pen_gap = chn_pen_gap.astype(jnp.float32)
+
+    def step(carry, xs):
+        ring_key, ring_rpos, ring_qpos, ring_f, ring_ok = carry
+        ck, cr, cq, cv = xs  # each [B]
+        dq = cq[:, None] - ring_qpos
+        dr = cr[:, None] - ring_rpos
+        dd = jnp.abs(dr - dq)
+        dg = jnp.minimum(dq, dr)
+        sc = jnp.minimum(dg, span)
+        lin = pen_gap * dd.astype(jnp.float32)
+        logp = jnp.where(dd >= 1, mg_log2_jax((dd + 1).astype(jnp.float32)), 0.0)
+        pen = (lin + jnp.float32(0.5) * logp).astype(jnp.int32)
+        sc = jnp.where((dd != 0) | (dg > span), sc - pen, sc)
+        ok = (
+            ring_ok
+            & (ring_key == ck[:, None])
+            & (dq > 0)
+            & (dq <= max_gap)
+            & (dr > 0)
+            & (dr <= max_gap)
+            & (dd <= bw)
+        )
+        cand = jnp.where(ok, sc + ring_f, NEG)
+        best = jnp.max(cand, axis=1)
+        f = jnp.where(cv, jnp.maximum(span, best), NEG)
+        new_carry = (
+            jnp.concatenate([ck[:, None], ring_key[:, :-1]], axis=1),
+            jnp.concatenate([cr[:, None], ring_rpos[:, :-1]], axis=1),
+            jnp.concatenate([cq[:, None], ring_qpos[:, :-1]], axis=1),
+            jnp.concatenate([f[:, None], ring_f[:, :-1]], axis=1),
+            jnp.concatenate([cv[:, None], ring_ok[:, :-1]], axis=1),
+        )
+        return new_carry, f
+
+    init = (
+        jnp.full((B, W), IMAX, dtype=jnp.int32),
+        jnp.zeros((B, W), dtype=jnp.int32),
+        jnp.zeros((B, W), dtype=jnp.int32),
+        jnp.full((B, W), NEG, dtype=jnp.int32),
+        jnp.zeros((B, W), dtype=bool),
+    )
+    xs = (key2_s.T, rpos_s.T, qpos_s.T, valid_s.T)
+    _, f_steps = jax.lax.scan(step, init, xs)
+    f = f_steps.T  # [B, A]
+
+    # ---- 4. segmented max over rid runs ----
+    boundary = jnp.concatenate(
+        [jnp.ones((B, 1), dtype=bool), rid_s[:, 1:] != rid_s[:, :-1]], axis=1
+    )
+
+    def seg_op(a, b):
+        av, af = a
+        bv, bf = b
+        return (jnp.where(bf, bv, jnp.maximum(av, bv)), af | bf)
+
+    seg_f, _ = jax.lax.associative_scan(seg_op, (f, boundary), axis=1)
+    run_end = jnp.concatenate(
+        [rid_s[:, 1:] != rid_s[:, :-1], jnp.ones((B, 1), dtype=bool)], axis=1
+    )
+    passing = run_end & valid_s & (seg_f >= min_score)
+    counts = jnp.sum(passing, axis=1).astype(jnp.int32)
+
+    # longest (rid,strand) run: if it exceeds W the DP window may have
+    # missed predecessors and the row needs the exact host path
+    boundary2 = jnp.concatenate(
+        [jnp.ones((B, 1), dtype=bool), key2_s[:, 1:] != key2_s[:, :-1]], axis=1
+    )
+    idxs = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32), (B, A))
+    start_candidates = jnp.where(boundary2, idxs, -1)
+    run_start, _ = jax.lax.associative_scan(seg_op, (start_candidates, boundary2), axis=1)
+    run_len = jnp.where(valid_s, idxs - run_start + 1, 0)
+    max_run = jnp.max(run_len, axis=1).astype(jnp.int32)
+    return counts, n_anchors, max_run
+
+
+@dataclass
+class DeviceIndex:
+    """Device-resident arrays of a TargetIndex (ONT fast path)."""
+
+    keys: jnp.ndarray
+    rid: jnp.ndarray
+    pos: jnp.ndarray
+    strand: jnp.ndarray
+    rank: jnp.ndarray
+    mid_occ: int
+
+    @classmethod
+    def from_host(cls, index) -> "DeviceIndex":
+        keys32 = (index.keys.astype(np.uint32) ^ np.uint32(0x80000000)).view(np.int32)
+        return cls(
+            keys=jnp.asarray(keys32),
+            rid=jnp.asarray(index.rid.astype(np.int32)),
+            pos=jnp.asarray(index.pos.astype(np.int32)),
+            strand=jnp.asarray(index.strand.astype(np.int32)),
+            rank=jnp.asarray(index.name_rank.astype(np.int32)),
+            mid_occ=int(index.mid_occ),
+        )

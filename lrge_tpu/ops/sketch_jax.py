@@ -151,7 +151,8 @@ def sketch_batch(
     mhash = mhash.at[rows, slot_c].set(jnp.where(keep, x, INF))
     mpos = mpos.at[rows, slot_c].set(jnp.where(keep, jnp.arange(L)[None, :], 0))
     mstrand = mstrand.at[rows, slot_c].set(jnp.where(keep, strand, 0))
-    mcount = jnp.minimum(jnp.sum(sel, axis=1), M).astype(jnp.int32)
+    # raw count (uncapped) so callers can detect truncation at M
+    mcount = jnp.sum(sel, axis=1).astype(jnp.int32)
     return mhash[:, :M], mpos[:, :M], mstrand[:, :M], mcount
 
 
@@ -192,5 +193,5 @@ def sketch_batch_exact(
         mhash[b, :cnt] = (mz.key[:cnt] >> np.uint64(8)).astype(np.uint32)
         mpos[b, :cnt] = mz.pos[:cnt]
         mstrand[b, :cnt] = mz.strand[:cnt]
-        mcount[b] = cnt
+        mcount[b] = len(mz.key)  # raw count; truncation detectable
     return mhash, mpos, mstrand, mcount

@@ -1,0 +1,94 @@
+"""Device pipeline vs exact host engine: counts must be identical."""
+
+import numpy as np
+import pytest
+
+from lrge_tpu.device_engine import DeviceOverlapEngine
+from lrge_tpu.engine import OverlapEngine
+from lrge_tpu.ops.index import build_index
+from lrge_tpu.platform import Platform, preset_for
+
+RC = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+def make_reads(rng, genome, n, length, err):
+    reads = []
+    for i in range(n):
+        pos = int(rng.integers(0, len(genome) - length))
+        seq = bytearray(genome[pos : pos + length])
+        for j in range(len(seq)):
+            if rng.random() < err:
+                seq[j] = int(rng.choice(list(b"ACGT")))
+        seq = bytes(seq)
+        if rng.integers(0, 2):
+            seq = seq.translate(RC)[::-1]
+        reads.append(seq)
+    return reads
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(31337)
+    genome = bytes(rng.choice(list(b"ACGT"), size=150_000).tolist())
+    # ~8% errors: realistic ONT anchor density
+    targets = make_reads(rng, genome, 120, 2000, err=0.08)
+    tnames = [f"t{i}".encode() for i in range(len(targets))]
+    queries = make_reads(rng, genome, 40, 2500, err=0.08)
+    qnames = [f"q{i}".encode() for i in range(len(queries))]
+    return targets, tnames, queries, qnames
+
+
+class TestDeviceVsHost:
+    def test_twoset_counts_match(self, corpus):
+        targets, tnames, queries, qnames = corpus
+        params = preset_for(Platform.NANOPORE, dual=True)
+        index = build_index(targets, tnames, params)
+        host = OverlapEngine(index)
+        dev = DeviceOverlapEngine(index, batch_size=16, num_anchors=4096, window=1024)
+        res = dev.count_batch(qnames, queries)
+        for i, (nm, sq) in enumerate(zip(qnames, queries)):
+            hc, hh = host.count_overlaps(nm, sq)
+            assert res.counts[i] == hc, f"query {i}: device {res.counts[i]} host {hc}"
+            assert bool(res.had_mapping[i]) == bool(hh)
+
+    def test_ava_counts_match(self, corpus):
+        targets, tnames, _, _ = corpus
+        params = preset_for(Platform.NANOPORE, dual=False)  # no_dual set
+        index = build_index(targets[:60], tnames[:60], params)
+        host = OverlapEngine(index)
+        dev = DeviceOverlapEngine(index, batch_size=16, num_anchors=4096, window=1024)
+        res = dev.count_batch(tnames[:60], targets[:60])
+        for i in range(60):
+            hc, hh = host.count_overlaps(tnames[i], targets[i])
+            assert res.counts[i] == hc, f"read {i}: device {res.counts[i]} host {hc}"
+
+    def test_fallback_on_dense_runs(self, corpus):
+        # error-free reads produce dense anchor runs; with a tiny window
+        # the engine must fall back rather than return wrong counts
+        rng = np.random.default_rng(5)
+        genome = bytes(rng.choice(list(b"ACGT"), size=30_000).tolist())
+        targets = make_reads(rng, genome, 30, 1500, err=0.0)
+        tnames = [f"d{i}".encode() for i in range(30)]
+        queries = make_reads(rng, genome, 8, 1500, err=0.0)
+        qnames = [f"qq{i}".encode() for i in range(8)]
+        params = preset_for(Platform.NANOPORE, dual=True)
+        index = build_index(targets, tnames, params)
+        host = OverlapEngine(index)
+        dev = DeviceOverlapEngine(index, batch_size=8, num_anchors=2048, window=16)
+        res = dev.count_batch(qnames, queries)
+        assert res.fallback_rows > 0
+        for i in range(8):
+            hc, _ = host.count_overlaps(qnames[i], queries[i])
+            assert res.counts[i] == hc
+
+    def test_pacbio_routes_to_host(self, corpus):
+        targets, tnames, queries, qnames = corpus
+        params = preset_for(Platform.PACBIO, dual=True)
+        index = build_index(targets[:30], tnames[:30], params)
+        dev = DeviceOverlapEngine(index)
+        assert not dev.device_ok
+        res = dev.count_batch(qnames[:5], queries[:5])
+        host = OverlapEngine(index)
+        for i in range(5):
+            hc, _ = host.count_overlaps(qnames[i], queries[i])
+            assert res.counts[i] == hc
