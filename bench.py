@@ -1,0 +1,116 @@
+"""Benchmark: query-reads/s through the device overlap pipeline.
+
+Measures the two-set hot loop (the reference's `mm_map` equivalent) on
+synthetic ONT-like reads: 10k-target index, batches of queries mapped on
+device, per-read estimates computed from the counts.  Prints one JSON
+line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline context (BASELINE.md): the reference's published run maps 5k
+queries against a 10k index in ~17 s wall on an 8-thread CPU
+(~300 query-reads/s); the driver target is >=5x a 16-thread CPU run.
+We report absolute query-reads/s and vs_baseline against 600 reads/s
+(a 16-thread CPU lrge estimate: 2x the 8-thread published rate).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_QPS = 600.0  # est. 16-thread CPU lrge mapping rate (see module doc)
+
+
+def make_reads(rng, genome, n, mean_len, err):
+    lens = np.clip(rng.gamma(3.0, mean_len / 3.0, size=n).astype(int), 500, 30_000)
+    rc = bytes.maketrans(b"ACGT", b"TGCA")
+    reads = []
+    g = np.frombuffer(genome, dtype=np.uint8)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for L in lens:
+        L = int(min(L, len(genome) - 1))
+        pos = int(rng.integers(0, len(genome) - L))
+        arr = g[pos : pos + L].copy()
+        nerr = rng.binomial(L, err)
+        if nerr:
+            sites = rng.integers(0, L, size=nerr)
+            arr[sites] = bases[rng.integers(0, 4, size=nerr)]
+        seq = arr.tobytes()
+        if rng.integers(0, 2):
+            seq = seq.translate(rc)[::-1]
+        reads.append(seq)
+    return reads
+
+
+def main():
+    n_targets = int(os.environ.get("BENCH_TARGETS", 10_000))
+    n_queries = int(os.environ.get("BENCH_QUERIES", 2_000))
+    genome_size = int(os.environ.get("BENCH_GENOME", 4_400_000))
+    err = float(os.environ.get("BENCH_ERR", 0.05))
+
+    from lrge_tpu.device_engine import DeviceOverlapEngine
+    from lrge_tpu.estimate import median, per_read_estimate_batch
+    from lrge_tpu.ops.index import build_index
+    from lrge_tpu.platform import Platform, preset_for
+
+    rng = np.random.default_rng(6)
+    print(f"[bench] genome={genome_size} targets={n_targets} queries={n_queries}", file=sys.stderr)
+    genome = np.frombuffer(
+        rng.integers(0, 4, size=genome_size, dtype=np.uint8), dtype=np.uint8
+    )
+    genome = np.frombuffer(b"ACGT", dtype=np.uint8)[genome].tobytes()
+    targets = make_reads(rng, genome, n_targets, 2500, err)
+    queries = make_reads(rng, genome, n_queries, 2500, err)
+    tnames = [b"t%d" % i for i in range(n_targets)]
+    qnames = [b"q%d" % i for i in range(n_queries)]
+
+    t0 = time.perf_counter()
+    params = preset_for(Platform.NANOPORE, dual=True)
+    index = build_index(targets, tnames, params)
+    t_index = time.perf_counter() - t0
+    print(f"[bench] index build: {t_index:.2f}s ({len(index.keys)} postings)", file=sys.stderr)
+
+    engine = DeviceOverlapEngine(index, batch_size=128, num_anchors=4096, window=512)
+    # warmup (compile)
+    engine.count_batch(qnames[:128], queries[:128])
+
+    t1 = time.perf_counter()
+    res = engine.count_batch(qnames, queries)
+    t_map = time.perf_counter() - t1
+    qps = n_queries / t_map
+
+    # end-to-end estimate sanity
+    sum_t = sum(len(s) for s in targets)
+    avg_t = np.float32(sum_t) / np.float32(n_targets)
+    ests = per_read_estimate_batch(
+        np.array([len(q) for q in queries]), float(avg_t), n_targets, res.counts, 100
+    )
+    _, est, _ = median(ests[np.isfinite(ests)])
+    err_pct = abs(est - genome_size) / genome_size * 100.0
+    print(
+        f"[bench] map: {t_map:.2f}s ({qps:.0f} q/s), fallback={res.fallback_rows}, "
+        f"estimate={est:.0f} ({err_pct:.2f}% err)",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "query_reads_per_sec_per_chip",
+                "value": round(qps, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(qps / BASELINE_QPS, 2),
+                "extra": {
+                    "estimate_bp": int(est),
+                    "estimate_err_pct": round(err_pct, 3),
+                    "index_build_s": round(t_index, 2),
+                    "host_fallback_rows": int(res.fallback_rows),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -51,20 +51,7 @@ def mg_log2_jax(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "k",
-        "max_gap",
-        "bw",
-        "min_score",
-        "num_anchors",
-        "window",
-        "no_dual",
-        "no_diag",
-    ),
-)
-def map_batch_device(
+def map_batch_core(
     idx_keys: jnp.ndarray,  # [N] int32 (hash ^ 0x80000000, sorted)
     idx_rid: jnp.ndarray,  # [N] int32
     idx_pos: jnp.ndarray,  # [N] int32
@@ -101,6 +88,9 @@ def map_batch_device(
     end = jnp.searchsorted(idx_keys, qk.ravel(), side="right").reshape(B, M)
     occ = (end - start).astype(jnp.int32)
     occ = jnp.where(occ > mid_occ, 0, occ)
+    # invalid minimizer slots (0xFFFFFFFF padding) must never match,
+    # even when the index itself is padded with sentinel keys
+    occ = jnp.where(mhash == jnp.uint32(0xFFFFFFFF), 0, occ)
 
     # ---- 2. anchor expansion ----
     cum = jnp.cumsum(occ, axis=1)
@@ -249,3 +239,18 @@ class DeviceIndex:
             rank=jnp.asarray(index.name_rank.astype(np.int32)),
             mid_occ=int(index.mid_occ),
         )
+
+
+map_batch_device = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "max_gap",
+        "bw",
+        "min_score",
+        "num_anchors",
+        "window",
+        "no_dual",
+        "no_diag",
+    ),
+)(map_batch_core)

@@ -1,0 +1,110 @@
+"""Multi-chip sharded counting on a virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(2024)
+    genome = bytes(rng.choice(list(b"ACGT"), size=60_000).tolist())
+    rc = bytes.maketrans(b"ACGT", b"TGCA")
+
+    def read(length=1200, err=0.08):
+        pos = int(rng.integers(0, len(genome) - length))
+        arr = bytearray(genome[pos : pos + length])
+        for j in range(len(arr)):
+            if rng.random() < err:
+                arr[j] = int(rng.choice(list(b"ACGT")))
+        s = bytes(arr)
+        return s.translate(rc)[::-1] if rng.integers(0, 2) else s
+
+    targets = [read() for _ in range(64)]
+    tnames = [f"t{i}".encode() for i in range(64)]
+    queries = [read(1500) for _ in range(16)]
+    qnames = [f"q{i}".encode() for i in range(16)]
+    return targets, tnames, queries, qnames
+
+
+def _sharded_counts(corpus, n_data, n_index, window=1024):
+    import jax.numpy as jnp
+
+    from lrge_tpu.ops.encode import make_batches
+    from lrge_tpu.ops.index import build_index
+    from lrge_tpu.ops.sketch_jax import sketch_batch_exact
+    from lrge_tpu.parallel.sharded import (
+        ShardedDeviceIndex,
+        make_mesh,
+        sharded_count_fn,
+    )
+    from lrge_tpu.platform import Platform, preset_for
+
+    targets, tnames, queries, qnames = corpus
+    params = preset_for(Platform.NANOPORE, dual=True)
+    index = build_index(targets, tnames, params)
+    sharded = ShardedDeviceIndex.from_host(index, n_index)
+    mesh = make_mesh(n_data, n_index)
+    (batch,) = make_batches(queries, batch_size=len(queries), pad_to=2048, length_sorted=False)
+    mhash, mpos, mstrand, _ = sketch_batch_exact(
+        batch.codes, batch.lengths, k=params.k, w=params.w, max_minimizers=1024
+    )
+    fn = sharded_count_fn(
+        mesh,
+        k=params.k,
+        max_gap=params.max_gap,
+        bw=params.bw,
+        min_score=params.min_chain_score,
+        num_anchors=2048,
+        window=window,
+        no_dual=params.no_dual,
+        no_diag=params.no_diag,
+    )
+    B = len(queries)
+    S = n_index
+    counts, n_anchors, max_run = fn(
+        jnp.asarray(sharded.keys),
+        jnp.asarray(sharded.rid),
+        jnp.asarray(sharded.pos),
+        jnp.asarray(sharded.strand),
+        jnp.asarray(sharded.rank),
+        jnp.full((S, 1), sharded.mid_occ, jnp.int32),
+        jnp.asarray(mhash),
+        jnp.asarray(mpos),
+        jnp.asarray(mstrand),
+        jnp.asarray(batch.lengths),
+        jnp.zeros(B, jnp.int32),
+        jnp.full(B, -1, jnp.int32),
+        jnp.full((S, 1), params.chn_pen_gap(), jnp.float32),
+    )
+    # undo length-sorted=False: batch.ids is identity here
+    assert (batch.ids == np.arange(B)).all()
+    return np.asarray(counts), index
+
+
+def _host_counts(corpus, index):
+    from lrge_tpu.engine import OverlapEngine
+
+    targets, tnames, queries, qnames = corpus
+    host = OverlapEngine(index)
+    return np.array(
+        [host.count_overlaps(nm, sq)[0] for nm, sq in zip(qnames, queries)]
+    )
+
+
+class TestShardedCounts:
+    def test_mesh_2x4_matches_host(self, corpus):
+        counts, index = _sharded_counts(corpus, n_data=2, n_index=4)
+        expected = _host_counts(corpus, index)
+        np.testing.assert_array_equal(counts, expected)
+
+    def test_mesh_4x2_matches_host(self, corpus):
+        counts, index = _sharded_counts(corpus, n_data=4, n_index=2)
+        expected = _host_counts(corpus, index)
+        np.testing.assert_array_equal(counts, expected)
+
+    def test_mesh_1x8_matches_host(self, corpus):
+        counts, index = _sharded_counts(corpus, n_data=1, n_index=8)
+        expected = _host_counts(corpus, index)
+        np.testing.assert_array_equal(counts, expected)
