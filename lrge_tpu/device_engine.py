@@ -77,10 +77,16 @@ class DeviceOverlapEngine:
         qselfrid = np.array(
             [self.host._name_to_rid.get(nm, -1) for nm in names], dtype=np.int32
         )
-        batches = make_batches(seqs, batch_size=self.batch_size, pad_to=256)
+        batches = make_batches(
+            seqs,
+            batch_size=self.batch_size,
+            pad_to=2048,
+            pow2_lengths=True,
+            pad_batch=True,
+        )
         for batch in batches:
             B, L = batch.codes.shape
-            M = max(64, L // 2 + 8)
+            M = L // 2
             mhash, mpos, mstrand, mcount = sketch_batch_exact(
                 batch.codes, batch.lengths, k=p.k, w=p.w, max_minimizers=M
             )
@@ -116,6 +122,8 @@ class DeviceOverlapEngine:
                 | (mcount > M)
             )
             for row, qid in enumerate(batch.ids):
+                if qid < 0:
+                    continue  # batch padding row
                 if needs_host[row]:
                     c, h = self._host_count(names[qid], seqs[qid])
                     counts[qid], had[qid] = c, h

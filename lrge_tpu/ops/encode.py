@@ -73,18 +73,30 @@ class ReadBatch:
     ids: np.ndarray  # [B] int32
 
 
+def next_pow2(x: int) -> int:
+    return 1 << (max(x, 1) - 1).bit_length()
+
+
 def make_batches(
     seqs: Sequence[bytes],
     ids: Sequence[int] | None = None,
     batch_size: int = 128,
     pad_to: int = 256,
     length_sorted: bool = True,
+    pow2_lengths: bool = False,
+    pad_batch: bool = False,
 ) -> list[ReadBatch]:
     """Bucket reads into padded batches.
 
     Sorting by length before batching keeps padding waste low (long and
     short reads don't share a batch); the ``ids`` let callers scatter
     per-read results back to the original order.
+
+    ``pow2_lengths`` pads each batch's length to the next power of two
+    (>= ``pad_to``) and ``pad_batch`` pads the row count to a full
+    ``batch_size`` (padding rows have id -1 and length 0) — together
+    they bound the number of distinct compiled shapes, which matters
+    when compilation is remote/expensive.
     """
     n = len(seqs)
     if ids is None:
@@ -96,12 +108,18 @@ def make_batches(
     for off in range(0, n, batch_size):
         sel = order[off : off + batch_size]
         maxlen = max(len(seqs[i]) for i in sel)
-        pad = round_up(max(maxlen, pad_to), pad_to)
-        codes = np.full((len(sel), pad), 4, dtype=np.uint8)
-        lengths = np.empty(len(sel), dtype=np.int32)
+        if pow2_lengths:
+            pad = next_pow2(max(maxlen, pad_to))
+        else:
+            pad = round_up(max(maxlen, pad_to), pad_to)
+        rows = batch_size if pad_batch else len(sel)
+        codes = np.full((rows, pad), 4, dtype=np.uint8)
+        lengths = np.zeros(rows, dtype=np.int32)
+        out_ids = np.full(rows, -1, dtype=np.int32)
         for row, i in enumerate(sel):
             c = encode_seq(seqs[i])
             codes[row, : len(c)] = c
             lengths[row] = len(c)
-        batches.append(ReadBatch(codes=codes, lengths=lengths, ids=ids[sel]))
+            out_ids[row] = ids[i]
+        batches.append(ReadBatch(codes=codes, lengths=lengths, ids=out_ids))
     return batches

@@ -125,10 +125,12 @@ def sketch_batch(
         sel = sel.at[:, k - 1 : e0 + 1].set(sel[:, k - 1 : e0 + 1] | add)
         closing_tie = (xm[:, e0] == pmin) & ok
         held_abs = k - 1 + held_rel
-        cur = sel[jnp.arange(B), held_abs]
-        sel = sel.at[jnp.arange(B), held_abs].set(cur & ~closing_tie)
+        held_mask = jnp.arange(L, dtype=jnp.int32)[None, :] == held_abs[:, None]
+        sel = sel & ~(held_mask & closing_tie[:, None])
 
     # final-window push: latest min over positions [n-w, n-1] of each read
+    # (one-hot select instead of scatter: 2D scatters compile
+    # pathologically on the TPU backend)
     tail_idx = jnp.maximum(lengths[:, None] - w + jnp.arange(w)[None, :], 0)  # [B, w]
     tail_x = jnp.take_along_axis(xm, tail_idx, axis=1)
     # latest tie: scan from the right
@@ -137,23 +139,22 @@ def sketch_batch(
     tie_pos = jnp.take_along_axis(tail_idx, (w - 1 - arg_rev)[:, None], axis=1)[:, 0]
     tie_val = jnp.take_along_axis(xm, tie_pos[:, None], axis=1)[:, 0]
     has_tail = tie_val != INF
-    sel = sel.at[jnp.arange(B), tie_pos].set(sel[jnp.arange(B), tie_pos] | has_tail)
+    cols = jnp.arange(L, dtype=jnp.int32)[None, :]
+    sel = sel | ((cols == tie_pos[:, None]) & has_tail[:, None])
 
-    # compact to [B, M]
+    # compact to [B, M] by sorting selected positions to the front
+    # (stable single-key sort; position is recovered from the sort key)
     M = max_minimizers
-    slot = jnp.cumsum(sel.astype(jnp.int32), axis=1) - 1
-    keep = sel & (slot < M)
-    slot_c = jnp.where(keep, slot, M)  # overflow slot M is discarded
-    mhash = jnp.full((B, M + 1), INF, dtype=jnp.uint32)
-    mpos = jnp.zeros((B, M + 1), dtype=jnp.int32)
-    mstrand = jnp.zeros((B, M + 1), dtype=jnp.int32)
-    rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, L))
-    mhash = mhash.at[rows, slot_c].set(jnp.where(keep, x, INF))
-    mpos = mpos.at[rows, slot_c].set(jnp.where(keep, jnp.arange(L)[None, :], 0))
-    mstrand = mstrand.at[rows, slot_c].set(jnp.where(keep, strand, 0))
-    # raw count (uncapped) so callers can detect truncation at M
-    mcount = jnp.sum(sel, axis=1).astype(jnp.int32)
-    return mhash[:, :M], mpos[:, :M], mstrand[:, :M], mcount
+    mcount = jnp.sum(sel, axis=1).astype(jnp.int32)  # raw count (uncapped)
+    ckey = jnp.where(sel, cols, cols + L)
+    ckey_s, x_s, strand_s = jax.lax.sort(
+        (ckey, jnp.where(sel, x, INF), strand), dimension=1, num_keys=1, is_stable=True
+    )
+    mhash = x_s[:, :M]
+    mpos = jnp.where(ckey_s[:, :M] < L, ckey_s[:, :M], 0)
+    mstrand = jnp.where(ckey_s[:, :M] < L, strand_s[:, :M], 0)
+    mhash = jnp.where(ckey_s[:, :M] < L, mhash, INF)
+    return mhash, mpos, mstrand, mcount
 
 
 def sketch_batch_exact(
