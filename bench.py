@@ -72,8 +72,9 @@ def main():
     print(f"[bench] index build: {t_index:.2f}s ({len(index.keys)} postings)", file=sys.stderr)
 
     engine = DeviceOverlapEngine(index, batch_size=128, num_anchors=4096, window=512)
-    # warmup (compile)
-    engine.count_batch(qnames[:128], queries[:128])
+    t_w = time.perf_counter()
+    engine.warmup()  # compile all length buckets
+    print(f"[bench] warmup/compile: {time.perf_counter()-t_w:.1f}s", file=sys.stderr)
 
     t1 = time.perf_counter()
     res = engine.count_batch(qnames, queries)

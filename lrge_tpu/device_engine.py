@@ -1,11 +1,16 @@
 """Batched device overlap engine with exact host fallback.
 
-Drives ``ops.overlap_jax.map_batch_device`` over length-bucketed query
-batches.  Rows that the device path cannot guarantee exactly —
-anchor-buffer overflow, minimizer-capacity truncation, or a
-(rid,strand) anchor run longer than the DP window — are recomputed with
-the exact host engine, so **counts are always exact**; the device only
-accelerates.
+Drives the fused sketch+map program (``ops.overlap_jax.fused_count``)
+over length-bucketed query batches.  The whole per-batch pipeline is a
+single compiled dispatch — remote compilation and relay round-trips
+dominate in this environment, so the engine compiles at most
+``len(LENGTH_BUCKETS)`` programs and dispatches once per batch.
+
+Rows the device cannot guarantee exactly — sketch-loop quirk reads
+(Ns / HPC spans), anchor-buffer overflow, minimizer-capacity
+truncation, or a (rid,strand) anchor run longer than the DP window —
+are recomputed with the exact host engine, so **counts are always
+exact**; the device only accelerates.
 
 The ONT preset (non-HPC, 2k <= 32) is device-supported; the PacBio/HPC
 preset currently routes everything to the host path (64-bit keys and
@@ -22,10 +27,14 @@ import numpy as np
 from .engine import OverlapEngine
 from .ops.encode import make_batches
 from .ops.index import TargetIndex
-from .ops.overlap_jax import DeviceIndex, map_batch_device
-from .ops.sketch_jax import sketch_batch_exact
+from .ops.overlap_jax import DeviceIndex, fused_count
+from .ops.sketch import needs_scalar_sketch
 
 logger = logging.getLogger("lrge")
+
+# padded read lengths the engine will compile programs for; reads longer
+# than the last bucket fall back to the host path
+LENGTH_BUCKETS = (4096, 32768)
 
 
 @dataclass
@@ -43,6 +52,7 @@ class DeviceOverlapEngine:
         batch_size: int = 128,
         num_anchors: int = 4096,
         window: int = 512,
+        length_buckets: tuple = LENGTH_BUCKETS,
     ):
         self.index = index
         self.params = index.params
@@ -50,12 +60,21 @@ class DeviceOverlapEngine:
         self.batch_size = batch_size
         self.num_anchors = num_anchors
         self.window = window
+        self.length_buckets = tuple(sorted(length_buckets))
         self.device_ok = (not self.params.hpc) and 2 * self.params.k <= 32
         if self.device_ok:
             self.dev = DeviceIndex.from_host(index)
 
     def _host_count(self, name: bytes, seq: bytes) -> tuple[int, int]:
         return self.host.count_overlaps(name, seq)
+
+    def warmup(self) -> None:
+        """Compile the fused program for every length bucket."""
+        if not self.device_ok:
+            return
+        for L in self.length_buckets:
+            fake = [b"ACGT" * (L // 8)] * 2
+            self.count_batch([b"__warm0", b"__warm1"], fake)
 
     def count_batch(self, names: list, seqs: list) -> BatchCounts:
         n = len(seqs)
@@ -71,6 +90,14 @@ class DeviceOverlapEngine:
         import jax.numpy as jnp
 
         p = self.params
+        max_bucket = self.length_buckets[-1]
+        long_rows = [i for i, s in enumerate(seqs) if len(s) > max_bucket]
+        dev_rows = [i for i in range(n) if len(seqs[i]) <= max_bucket]
+        for i in long_rows:
+            c, h = self._host_count(names[i], seqs[i])
+            counts[i], had[i] = c, h
+            fallback += 1
+
         qdualrank = np.array(
             [self.host._dual_rank(nm) if p.no_dual else 0 for nm in names], dtype=np.int32
         )
@@ -78,33 +105,34 @@ class DeviceOverlapEngine:
             [self.host._name_to_rid.get(nm, -1) for nm in names], dtype=np.int32
         )
         batches = make_batches(
-            seqs,
+            [seqs[i] for i in dev_rows],
+            ids=dev_rows,
             batch_size=self.batch_size,
-            pad_to=2048,
-            pow2_lengths=True,
+            pad_to=self.length_buckets[0],
+            pow2_lengths=False,
             pad_batch=True,
         )
+        # snap each batch to its bucket length
         for batch in batches:
-            B, L = batch.codes.shape
-            M = L // 2
-            mhash, mpos, mstrand, mcount = sketch_batch_exact(
-                batch.codes, batch.lengths, k=p.k, w=p.w, max_minimizers=M
-            )
-            bcounts, n_anchors, max_run = map_batch_device(
+            L0 = batch.codes.shape[1]
+            L = next(b for b in self.length_buckets if b >= L0)
+            if L != L0:
+                pad = np.full((batch.codes.shape[0], L - L0), 4, dtype=np.uint8)
+                batch.codes = np.concatenate([batch.codes, pad], axis=1)
+            bcounts, n_anchors, max_run, mcount = fused_count(
+                jnp.asarray(batch.codes),
+                jnp.asarray(batch.lengths),
                 self.dev.keys,
                 self.dev.rid,
                 self.dev.pos,
                 self.dev.strand,
                 self.dev.rank,
                 jnp.int32(self.dev.mid_occ),
-                jnp.asarray(mhash),
-                jnp.asarray(mpos),
-                jnp.asarray(mstrand),
-                jnp.asarray(batch.lengths),
-                jnp.asarray(qdualrank[batch.ids]),
-                jnp.asarray(qselfrid[batch.ids]),
+                jnp.asarray(np.where(batch.ids >= 0, qdualrank[batch.ids], 0)),
+                jnp.asarray(np.where(batch.ids >= 0, qselfrid[batch.ids], -1)),
                 jnp.float32(p.chn_pen_gap()),
                 k=p.k,
+                w=p.w,
                 max_gap=p.max_gap,
                 bw=p.bw,
                 min_score=p.min_chain_score,
@@ -116,15 +144,19 @@ class DeviceOverlapEngine:
             bcounts = np.asarray(bcounts)
             n_anchors = np.asarray(n_anchors)
             max_run = np.asarray(max_run)
-            needs_host = (
-                (n_anchors > self.num_anchors)
-                | (max_run > self.window)
-                | (mcount > M)
-            )
+            mcount = np.asarray(mcount)
+            M = batch.codes.shape[1] // 2
             for row, qid in enumerate(batch.ids):
                 if qid < 0:
                     continue  # batch padding row
-                if needs_host[row]:
+                seq_row = batch.codes[row, : batch.lengths[row]]
+                needs_host = (
+                    n_anchors[row] > self.num_anchors
+                    or max_run[row] > self.window
+                    or mcount[row] > M
+                    or needs_scalar_sketch(seq_row, p.k, p.w, False)
+                )
+                if needs_host:
                     c, h = self._host_count(names[qid], seqs[qid])
                     counts[qid], had[qid] = c, h
                     fallback += 1

@@ -254,3 +254,81 @@ map_batch_device = functools.partial(
         "no_diag",
     ),
 )(map_batch_core)
+
+
+def fused_count_core(
+    codes,
+    lengths,
+    idx_keys,
+    idx_rid,
+    idx_pos,
+    idx_strand,
+    idx_rank,
+    mid_occ,
+    qdualrank,
+    qselfrid,
+    chn_pen_gap,
+    *,
+    k,
+    w,
+    max_gap,
+    bw,
+    min_score,
+    num_anchors,
+    window,
+    no_dual,
+    no_diag,
+):
+    """Sketch + map in a single program (one dispatch, one compile).
+
+    Remote-compilation latency and per-dispatch relay overhead dominate
+    small programs in this environment, so the production path fuses the
+    whole per-batch pipeline.  ``M`` (minimizer capacity) is derived
+    from the static read length (density bound 1/2 > 2/(w+1)).
+    """
+    from .sketch_jax import sketch_core
+
+    M = codes.shape[1] // 2
+    mhash, mpos, mstrand, mcount = sketch_core(
+        codes, lengths, k=k, w=w, max_minimizers=M
+    )
+    counts, n_anchors, max_run = map_batch_core(
+        idx_keys,
+        idx_rid,
+        idx_pos,
+        idx_strand,
+        idx_rank,
+        mid_occ,
+        mhash,
+        mpos,
+        mstrand,
+        lengths,
+        qdualrank,
+        qselfrid,
+        chn_pen_gap,
+        k=k,
+        max_gap=max_gap,
+        bw=bw,
+        min_score=min_score,
+        num_anchors=num_anchors,
+        window=window,
+        no_dual=no_dual,
+        no_diag=no_diag,
+    )
+    return counts, n_anchors, max_run, mcount
+
+
+fused_count = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "w",
+        "max_gap",
+        "bw",
+        "min_score",
+        "num_anchors",
+        "window",
+        "no_dual",
+        "no_diag",
+    ),
+)(fused_count_core)

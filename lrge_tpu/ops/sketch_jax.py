@@ -41,8 +41,7 @@ def hash32(key: jnp.ndarray, mask: int) -> jnp.ndarray:
     return key
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w", "max_minimizers"))
-def sketch_batch(
+def sketch_core(
     codes: jnp.ndarray,  # [B, L] uint8 (4 = ambiguous/padding)
     lengths: jnp.ndarray,  # [B] int32
     *,
@@ -155,6 +154,11 @@ def sketch_batch(
     mstrand = jnp.where(ckey_s[:, :M] < L, strand_s[:, :M], 0)
     mhash = jnp.where(ckey_s[:, :M] < L, mhash, INF)
     return mhash, mpos, mstrand, mcount
+
+
+sketch_batch = functools.partial(
+    jax.jit, static_argnames=("k", "w", "max_minimizers")
+)(sketch_core)
 
 
 def sketch_batch_exact(
