@@ -31,6 +31,17 @@ def _open_records(path: os.PathLike | str) -> Iterator[Record]:
         return read_sam(stream)
     if fmt is ContentFormat.CRAM:
         return read_cram(stream)
+    from ..native import native
+
+    if native is not None:
+        # native whole-buffer parse (ids pre-truncated in C)
+        from ..errors import FastqParseError
+
+        data = stream.read()
+        try:
+            return iter(native.parse_fastx(data))
+        except ValueError as e:
+            raise FastqParseError(str(e)) from None
     return ((read_id_from_header(h), s) for h, s in parse_fastx(stream))
 
 

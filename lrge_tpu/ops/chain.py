@@ -152,11 +152,37 @@ def collect_anchors(
 
 
 def chain_dp(anchors: Anchors, params: OverlapParams) -> tuple[np.ndarray, np.ndarray]:
-    """The chaining DP; returns (f, p) score and predecessor arrays."""
+    """The chaining DP; returns (f, p) score and predecessor arrays.
+
+    Uses the native C++ kernel when available (identical f32 scoring
+    semantics, see ``native/lrge_native.cpp``); falls back to the numpy
+    loop below.
+    """
     n = len(anchors)
     f = np.zeros(n, dtype=np.int64)
     p = np.full(n, -1, dtype=np.int64)
     if n == 0:
+        return f, p
+    from ..native import native
+
+    if native is not None:
+        key2 = (anchors.rid.astype(np.int32) * 2 + anchors.strand.astype(np.int32)).astype(
+            np.int32
+        )
+        native.chain_dp(
+            np.ascontiguousarray(key2),
+            np.ascontiguousarray(anchors.rpos.astype(np.int32)),
+            np.ascontiguousarray(anchors.qpos.astype(np.int32)),
+            np.ascontiguousarray(anchors.span.astype(np.int32)),
+            n,
+            params.max_gap,
+            params.bw,
+            params.max_chain_iter,
+            np.float32(params.chn_pen_gap()),
+            np.float32(params.chn_pen_skip()),
+            f,
+            p,
+        )
         return f, p
     rid = anchors.rid.astype(np.int64)
     st_key = rid * 2 + anchors.strand  # same (rid, strand) group
