@@ -34,7 +34,7 @@ logger = logging.getLogger("lrge")
 
 # padded read lengths the engine will compile programs for; reads longer
 # than the last bucket fall back to the host path
-LENGTH_BUCKETS = (4096, 32768)
+LENGTH_BUCKETS = (4096,)
 
 
 @dataclass
@@ -68,6 +68,15 @@ class DeviceOverlapEngine:
     def _host_count(self, name: bytes, seq: bytes) -> tuple[int, int]:
         return self.host.count_overlaps(name, seq)
 
+    def _host_count_many(self, items):
+        """Parallel exact host counting (native chain DP releases the GIL)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(items) <= 1:
+            return [self._host_count(nm, sq) for nm, sq in items]
+        with ThreadPoolExecutor(max_workers=min(8, len(items))) as ex:
+            return list(ex.map(lambda t: self._host_count(*t), items))
+
     def warmup(self) -> None:
         """Compile the fused program for every length bucket."""
         if not self.device_ok:
@@ -82,8 +91,8 @@ class DeviceOverlapEngine:
         had = np.zeros(n, dtype=bool)
         fallback = 0
         if not self.device_ok:
-            for i, (nm, sq) in enumerate(zip(names, seqs)):
-                c, h = self._host_count(nm, sq)
+            results = self._host_count_many(list(zip(names, seqs)))
+            for i, (c, h) in enumerate(results):
                 counts[i], had[i] = c, h
             return BatchCounts(counts, had, n)
 
@@ -93,8 +102,9 @@ class DeviceOverlapEngine:
         max_bucket = self.length_buckets[-1]
         long_rows = [i for i, s in enumerate(seqs) if len(s) > max_bucket]
         dev_rows = [i for i in range(n) if len(seqs[i]) <= max_bucket]
-        for i in long_rows:
-            c, h = self._host_count(names[i], seqs[i])
+        for i, (c, h) in zip(
+            long_rows, self._host_count_many([(names[i], seqs[i]) for i in long_rows])
+        ):
             counts[i], had[i] = c, h
             fallback += 1
 
@@ -146,6 +156,7 @@ class DeviceOverlapEngine:
             max_run = np.asarray(max_run)
             mcount = np.asarray(mcount)
             M = batch.codes.shape[1] // 2
+            retry = []
             for row, qid in enumerate(batch.ids):
                 if qid < 0:
                     continue  # batch padding row
@@ -157,12 +168,15 @@ class DeviceOverlapEngine:
                     or needs_scalar_sketch(seq_row, p.k, p.w, False)
                 )
                 if needs_host:
-                    c, h = self._host_count(names[qid], seqs[qid])
-                    counts[qid], had[qid] = c, h
-                    fallback += 1
+                    retry.append(qid)
                 else:
                     counts[qid] = bcounts[row]
                     had[qid] = bcounts[row] > 0
+            for qid, (c, h) in zip(
+                retry, self._host_count_many([(names[i], seqs[i]) for i in retry])
+            ):
+                counts[qid], had[qid] = c, h
+                fallback += 1
         if fallback:
             logger.debug("device path: %d/%d rows fell back to host", fallback, n)
         return BatchCounts(counts, had, fallback)

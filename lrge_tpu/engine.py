@@ -185,10 +185,44 @@ class OverlapEngine:
         return records
 
     def count_overlaps(self, qname: bytes, seq: bytes) -> tuple[int, int]:
-        """(unique target overlaps, had_any_mapping) for one query."""
-        recs = self.map_read(qname, seq)
-        uniq = {r.target_name for r in recs}
-        return len(uniq), int(bool(recs))
+        """(unique target overlaps, had_any_mapping) for one query.
+
+        Fast path: unique-target existence only needs the best chain
+        per target (backtracking peels chains best-first, so a target's
+        best chain always survives intact), so the backtrack/PAF stages
+        are skipped.  ``min_cnt`` is implied by ``min_chain_score`` for
+        constant spans; with HPC spans the count is checked by walking
+        the predecessor chain of each passing target's best anchor.
+        """
+        if self.params.hpc:
+            # variable spans break the implied-min_cnt argument and a
+            # same-target secondary chain can pass where the best chain
+            # fails min_cnt; use the exact full path
+            recs = self.map_read(qname, seq)
+            return len({r.target_name for r in recs}), int(bool(recs))
+        codes = encode_seq(seq)
+        qlen = len(codes)
+        mz = sketch_read(codes, self.params.k, self.params.w, self.params.hpc)
+        if len(mz.key) == 0:
+            return 0, 0
+        anchors, _ = collect_anchors(
+            self.index,
+            mz.key,
+            mz.pos.astype(np.int32),
+            mz.strand.astype(np.int8),
+            qlen,
+            qdualrank=self._dual_rank(qname) if self.params.no_dual else None,
+            qselfrid=self._name_to_rid.get(qname, -1),
+        )
+        if len(anchors) == 0:
+            return 0, 0
+        f, p = chain_dp(anchors, self.params)
+        rid = anchors.rid
+        # per-rid best score (anchors sorted by rid)
+        run_start = np.flatnonzero(np.concatenate([[True], rid[1:] != rid[:-1]]))
+        best = np.maximum.reduceat(f, run_start)
+        count = int((best >= self.params.min_chain_score).sum())
+        return count, int(count > 0)
 
 
 def build_engine(seqs, names, params: OverlapParams) -> OverlapEngine:

@@ -88,43 +88,31 @@ def collect_anchors(
     # rep_len: merged intervals of repetitive query seeds (rl:i tag)
     rep_len = 0
     if dropped.any():
-        dstart = qpos[dropped] - spans[dropped] + 1
-        dend = qpos[dropped] + 1
-        order = np.argsort(dstart, kind="stable")
-        cur_s = cur_e = None
-        for s, e in zip(dstart[order], dend[order]):
-            if cur_s is None:
-                cur_s, cur_e = s, e
-            elif s <= cur_e:
-                cur_e = max(cur_e, e)
-            else:
-                rep_len += cur_e - cur_s
-                cur_s, cur_e = s, e
-        if cur_s is not None:
-            rep_len += cur_e - cur_s
+        dstart = np.sort(qpos[dropped] - spans[dropped] + 1)
+        dend = np.sort(qpos[dropped] + 1)
+        # merged-interval total: gaps between consecutive intervals
+        gap = np.maximum(dstart[1:] - dend[:-1], 0)
+        rep_len = int((dend[-1] - dstart[0]) - gap.sum())
 
     idxs = np.flatnonzero(keep)
-    total = int(occ[idxs].sum())
-    rid = np.empty(total, dtype=np.int32)
-    rpos = np.empty(total, dtype=np.int32)
-    qp = np.empty(total, dtype=np.int32)
-    strand = np.empty(total, dtype=np.int8)
-    span_arr = np.empty(total, dtype=np.int32)
-    off = 0
-    for m in idxs:
-        s, n = int(start[m]), int(occ[m])
-        sl = slice(off, off + n)
-        rid[sl] = index.rid[s : s + n]
-        rpos[sl] = index.pos[s : s + n]
-        rel = index.strand[s : s + n].astype(np.int8) ^ np.int8(qstrand[m])
-        strand[sl] = rel
-        span_arr[sl] = spans[m]
-        # chaining coords: forward keeps the query end position; reverse
-        # flips to the end position on the reverse-complemented query
-        fwd_q = qpos[m]
-        rev_q = qlen - (qpos[m] + 1 - spans[m]) - 1
-        qp[sl] = np.where(rel == 0, fwd_q, rev_q)
-        off += n
+    occs = occ[idxs]
+    total = int(occs.sum())
+    # expand postings by rank (vectorised ragged expansion)
+    midx = np.repeat(idxs, occs)  # minimizer id per anchor
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(occs) - occs, occs
+    )
+    posting = np.repeat(start[idxs], occs) + within
+    rid = index.rid[posting].astype(np.int32)
+    rpos = index.pos[posting].astype(np.int32)
+    rel = index.strand[posting].astype(np.int8) ^ qstrand[midx].astype(np.int8)
+    strand = rel
+    span_arr = spans[midx].astype(np.int32)
+    # chaining coords: forward keeps the query end position; reverse
+    # flips to the end position on the reverse-complemented query
+    fwd_q = qpos[midx]
+    rev_q = qlen - (qpos[midx] + 1 - spans[midx]) - 1
+    qp = np.where(rel == 0, fwd_q, rev_q).astype(np.int32)
 
     mask = np.ones(total, dtype=bool)
     if params.no_dual and qdualrank is not None:
