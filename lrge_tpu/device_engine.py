@@ -27,7 +27,7 @@ import numpy as np
 from .engine import OverlapEngine
 from .ops.encode import make_batches
 from .ops.index import TargetIndex
-from .ops.overlap_jax import DeviceIndex, fused_count
+from .ops.overlap_jax import DeviceIndex, fused_count_many
 from .ops.sketch import needs_scalar_sketch
 
 logger = logging.getLogger("lrge")
@@ -53,6 +53,7 @@ class DeviceOverlapEngine:
         num_anchors: int = 4096,
         window: int = 512,
         length_buckets: tuple = LENGTH_BUCKETS,
+        super_batch: int = 8,
     ):
         self.index = index
         self.params = index.params
@@ -61,6 +62,7 @@ class DeviceOverlapEngine:
         self.num_anchors = num_anchors
         self.window = window
         self.length_buckets = tuple(sorted(length_buckets))
+        self.super_batch = super_batch
         self.device_ok = (not self.params.hpc) and 2 * self.params.k <= 32
         if self.device_ok:
             self.dev = DeviceIndex.from_host(index)
@@ -122,24 +124,41 @@ class DeviceOverlapEngine:
             pow2_lengths=False,
             pad_batch=True,
         )
-        # snap each batch to its bucket length
+        # snap every batch to the bucket length, then run super-batches
+        # of SUPER inner batches per dispatch (lax.map in one program)
+        L = self.length_buckets[0]
         for batch in batches:
             L0 = batch.codes.shape[1]
-            L = next(b for b in self.length_buckets if b >= L0)
             if L != L0:
                 pad = np.full((batch.codes.shape[0], L - L0), 4, dtype=np.uint8)
                 batch.codes = np.concatenate([batch.codes, pad], axis=1)
-            bcounts, n_anchors, max_run, mcount = fused_count(
-                jnp.asarray(batch.codes),
-                jnp.asarray(batch.lengths),
+        SUPER = self.super_batch
+        B = self.batch_size
+        M = L // 2
+        retry = []
+        for off in range(0, len(batches), SUPER):
+            group = batches[off : off + SUPER]
+            nb = len(group)
+            codes = np.full((SUPER, B, L), 4, dtype=np.uint8)
+            lengths = np.zeros((SUPER, B), dtype=np.int32)
+            ids = np.full((SUPER, B), -1, dtype=np.int32)
+            for g, batch in enumerate(group):
+                codes[g] = batch.codes
+                lengths[g] = batch.lengths
+                ids[g] = batch.ids
+            dual = np.where(ids >= 0, qdualrank[ids], 0).astype(np.int32)
+            selfr = np.where(ids >= 0, qselfrid[ids], -1).astype(np.int32)
+            bcounts, n_anchors, max_run, mcount = fused_count_many(
+                jnp.asarray(codes),
+                jnp.asarray(lengths),
                 self.dev.keys,
                 self.dev.rid,
                 self.dev.pos,
                 self.dev.strand,
                 self.dev.rank,
                 jnp.int32(self.dev.mid_occ),
-                jnp.asarray(np.where(batch.ids >= 0, qdualrank[batch.ids], 0)),
-                jnp.asarray(np.where(batch.ids >= 0, qselfrid[batch.ids], -1)),
+                jnp.asarray(dual),
+                jnp.asarray(selfr),
                 jnp.float32(p.chn_pen_gap()),
                 k=p.k,
                 w=p.w,
@@ -155,28 +174,28 @@ class DeviceOverlapEngine:
             n_anchors = np.asarray(n_anchors)
             max_run = np.asarray(max_run)
             mcount = np.asarray(mcount)
-            M = batch.codes.shape[1] // 2
-            retry = []
-            for row, qid in enumerate(batch.ids):
-                if qid < 0:
-                    continue  # batch padding row
-                seq_row = batch.codes[row, : batch.lengths[row]]
-                needs_host = (
-                    n_anchors[row] > self.num_anchors
-                    or max_run[row] > self.window
-                    or mcount[row] > M
-                    or needs_scalar_sketch(seq_row, p.k, p.w, False)
-                )
-                if needs_host:
-                    retry.append(qid)
-                else:
-                    counts[qid] = bcounts[row]
-                    had[qid] = bcounts[row] > 0
-            for qid, (c, h) in zip(
-                retry, self._host_count_many([(names[i], seqs[i]) for i in retry])
-            ):
-                counts[qid], had[qid] = c, h
-                fallback += 1
+            for g in range(nb):
+                for row in range(B):
+                    qid = ids[g, row]
+                    if qid < 0:
+                        continue  # batch padding row
+                    seq_row = codes[g, row, : lengths[g, row]]
+                    needs_host = (
+                        n_anchors[g, row] > self.num_anchors
+                        or max_run[g, row] > self.window
+                        or mcount[g, row] > M
+                        or needs_scalar_sketch(seq_row, p.k, p.w, False)
+                    )
+                    if needs_host:
+                        retry.append(qid)
+                    else:
+                        counts[qid] = bcounts[g, row]
+                        had[qid] = bcounts[g, row] > 0
+        for qid, (c, h) in zip(
+            retry, self._host_count_many([(names[i], seqs[i]) for i in retry])
+        ):
+            counts[qid], had[qid] = c, h
+            fallback += 1
         if fallback:
             logger.debug("device path: %d/%d rows fell back to host", fallback, n)
         return BatchCounts(counts, had, fallback)

@@ -227,3 +227,66 @@ class OverlapEngine:
 
 def build_engine(seqs, names, params: OverlapParams) -> OverlapEngine:
     return OverlapEngine(build_index(seqs, names, params))
+
+
+# ---------------------------------------------------------------------------
+# Process-level host parallelism (the reference's rayon pool analogue,
+# `twoset.rs:252-270`; threads can't scale the numpy-heavy host path
+# because of the GIL, so we fork workers instead)
+# ---------------------------------------------------------------------------
+
+_WORKER_ENGINE: Optional[OverlapEngine] = None
+
+
+def _init_worker(index) -> None:
+    global _WORKER_ENGINE
+    _WORKER_ENGINE = OverlapEngine(index)
+
+
+def _worker_map(item):
+    name, seq = item
+    return _WORKER_ENGINE.map_read(name, seq)
+
+
+def _worker_count(item):
+    name, seq = item
+    return _WORKER_ENGINE.count_overlaps(name, seq)
+
+
+class ParallelHostMapper:
+    """Maps queries across forked worker processes, preserving order."""
+
+    def __init__(self, index: TargetIndex, threads: int):
+        self.index = index
+        self.threads = max(1, threads)
+        self._pool = None
+        if self.threads > 1:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            ctx = mp.get_context("fork")
+            self._pool = ProcessPoolExecutor(
+                self.threads, mp_context=ctx, initializer=_init_worker, initargs=(index,)
+            )
+        else:
+            _init_worker(index)
+
+    def map_reads(self, items, chunksize: int = 16):
+        """Yield ``map_read`` results in input order."""
+        if self._pool is None:
+            for it in items:
+                yield _worker_map(it)
+        else:
+            yield from self._pool.map(_worker_map, items, chunksize=chunksize)
+
+    def count_reads(self, items, chunksize: int = 16):
+        if self._pool is None:
+            for it in items:
+                yield _worker_count(it)
+        else:
+            yield from self._pool.map(_worker_count, items, chunksize=chunksize)
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None

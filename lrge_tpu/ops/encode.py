@@ -23,6 +23,12 @@ for i, base in enumerate(b"acgt"):
 
 def encode_seq(seq: bytes) -> np.ndarray:
     """Encode one sequence to 2-bit codes (4 = ambiguous)."""
+    try:
+        from ..native import native
+    except Exception:
+        native = None
+    if native is not None:
+        return np.frombuffer(native.encode_seq(seq), dtype=np.uint8)
     return NT4[np.frombuffer(seq, dtype=np.uint8)]
 
 

@@ -332,3 +332,78 @@ fused_count = functools.partial(
         "no_diag",
     ),
 )(fused_count_core)
+
+
+def fused_count_many_core(
+    codes,  # [NB, B, L]
+    lengths,  # [NB, B]
+    idx_keys,
+    idx_rid,
+    idx_pos,
+    idx_strand,
+    idx_rank,
+    mid_occ,
+    qdualrank,  # [NB, B]
+    qselfrid,  # [NB, B]
+    chn_pen_gap,
+    *,
+    k,
+    w,
+    max_gap,
+    bw,
+    min_score,
+    num_anchors,
+    window,
+    no_dual,
+    no_diag,
+):
+    """A super-batch of query batches in ONE dispatch via lax.map.
+
+    Per-dispatch relay latency (~30ms here) and per-program remote
+    compilation are the dominant overheads; mapping over a fixed number
+    of inner batches amortises both (one program, one dispatch per
+    ``NB*B`` queries).
+    """
+
+    def body(args):
+        c, ln, qd, qs = args
+        return fused_count_core(
+            c,
+            ln,
+            idx_keys,
+            idx_rid,
+            idx_pos,
+            idx_strand,
+            idx_rank,
+            mid_occ,
+            qd,
+            qs,
+            chn_pen_gap,
+            k=k,
+            w=w,
+            max_gap=max_gap,
+            bw=bw,
+            min_score=min_score,
+            num_anchors=num_anchors,
+            window=window,
+            no_dual=no_dual,
+            no_diag=no_diag,
+        )
+
+    return jax.lax.map(body, (codes, lengths, qdualrank, qselfrid))
+
+
+fused_count_many = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "w",
+        "max_gap",
+        "bw",
+        "min_score",
+        "num_anchors",
+        "window",
+        "no_dual",
+        "no_diag",
+    ),
+)(fused_count_many_core)

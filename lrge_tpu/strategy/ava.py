@@ -104,12 +104,14 @@ class AvaStrategy(Estimate):
         engine = OverlapEngine(index)
         overlap_threshold = params.min_chain_score
 
+        from ..engine import ParallelHostMapper
+
+        mapper = ParallelHostMapper(engine.index, self.threads)
         ovlap_counter: dict[bytes, int] = {}
         seen_pairs: set[tuple[bytes, bytes]] = set()
         paf_path = self.tmpdir / "overlaps.paf"
         with open(paf_path, "w") as paf:
-            for qname, seq in reads:
-                mappings = engine.map_read(qname, seq)
+            for (qname, seq), mappings in zip(reads, mapper.map_reads(reads)):
                 for m in mappings:
                     paf.write(m.to_line() + "\n")
                     tname = m.target_name
@@ -125,6 +127,7 @@ class AvaStrategy(Estimate):
                     ovlap_counter[tname] = ovlap_counter.get(tname, 0) + 1
                     ovlap_counter[qname] = ovlap_counter.get(qname, 0) + 1
                 ovlap_counter.setdefault(qname, 0)
+        mapper.close()
 
         no_mapping_count = 0
         estimates = np.empty(len(ovlap_counter), dtype=np.float32)

@@ -158,15 +158,23 @@ class TwoSetStrategy(Estimate):
 
     def _align_reads(self, targets, queries, avg_target_len):
         """Default direction: index targets, stream queries
-        (`twoset.rs:204-367`)."""
+        (`twoset.rs:204-367`).
+
+        Queries are mapped on a forked worker pool when ``threads > 1``
+        (the reference's rayon pool analogue, `twoset.rs:252-270`).
+        """
         engine = self._build_engine(targets)
+        from ..engine import ParallelHostMapper
+
+        mapper = ParallelHostMapper(engine.index, self.threads)
         overlap_threshold = engine.params.min_chain_score
         estimates = np.empty(len(queries), dtype=np.float32)
         no_mapping_count = 0
         paf_path = self.tmpdir / "overlaps.paf"
         with open(paf_path, "w") as paf:
-            for qi, (qname, seq) in enumerate(queries):
-                mappings = engine.map_read(qname, seq)
+            for qi, ((qname, seq), mappings) in enumerate(
+                zip(queries, mapper.map_reads(queries))
+            ):
                 unique = set()
                 if mappings:
                     for m in mappings:
@@ -185,6 +193,7 @@ class TwoSetStrategy(Estimate):
                     overlap_threshold,
                 )
                 estimates[qi] = est
+        mapper.close()
         self._log_no_mapping(no_mapping_count, len(queries))
         return estimates, no_mapping_count
 
@@ -200,10 +209,12 @@ class TwoSetStrategy(Estimate):
                 raise DuplicateReadIdentifierError(qname.decode("utf-8", "replace"))
             read_lengths[qname] = len(seq)
             ovlap_counter[qname] = 0
+        from ..engine import ParallelHostMapper
+
+        mapper = ParallelHostMapper(engine.index, self.threads)
         paf_path = self.tmpdir / "overlaps.paf"
         with open(paf_path, "w") as paf:
-            for tname, seq in targets:
-                mappings = engine.map_read(tname, seq)
+            for (tname, seq), mappings in zip(targets, mapper.map_reads(targets)):
                 unique = set()
                 for m in mappings:
                     paf.write(m.to_line() + "\n")
@@ -229,6 +240,7 @@ class TwoSetStrategy(Estimate):
                             continue
                     ovlap_counter[m.target_name] += 1
                     unique.add(m.target_name)
+        mapper.close()
         no_mapping_count = 0
         estimates = np.empty(len(ovlap_counter), dtype=np.float32)
         for i, (rid_name, n_ovlaps) in enumerate(ovlap_counter.items()):
