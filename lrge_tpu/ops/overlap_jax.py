@@ -140,14 +140,20 @@ def map_batch_core(
     valid_s = key2_s != IMAX
 
     # ---- 3. chaining DP ----
+    # chunked scan: C anchors per step (unrolled in-step), one ring
+    # update per chunk — 8x fewer sequential steps than per-anchor
     span = jnp.int32(k)
     pen_gap = chn_pen_gap.astype(jnp.float32)
+    C = 8
+    assert A % C == 0
+    NC = A // C
 
-    def step(carry, xs):
-        ring_key, ring_rpos, ring_qpos, ring_f, ring_ok = carry
-        ck, cr, cq, cv = xs  # each [B]
-        dq = cq[:, None] - ring_qpos
-        dr = cr[:, None] - ring_rpos
+    def pair_sc(ck, cr, cq, pk, pr, pq, pf, pok):
+        """Score of transitioning from predecessors p* to current c*.
+
+        Shapes broadcast: current [B, 1] or [B], predecessors [B, W']."""
+        dq = cq - pq
+        dr = cr - pr
         dd = jnp.abs(dr - dq)
         dg = jnp.minimum(dq, dr)
         sc = jnp.minimum(dg, span)
@@ -156,25 +162,41 @@ def map_batch_core(
         pen = (lin + jnp.float32(0.5) * logp).astype(jnp.int32)
         sc = jnp.where((dd != 0) | (dg > span), sc - pen, sc)
         ok = (
-            ring_ok
-            & (ring_key == ck[:, None])
+            pok
+            & (pk == ck)
             & (dq > 0)
             & (dq <= max_gap)
             & (dr > 0)
             & (dr <= max_gap)
             & (dd <= bw)
         )
-        cand = jnp.where(ok, sc + ring_f, NEG)
-        best = jnp.max(cand, axis=1)
-        f = jnp.where(cv, jnp.maximum(span, best), NEG)
+        return jnp.where(ok, sc + pf, NEG)
+
+    def step(carry, xs):
+        ring_key, ring_rpos, ring_qpos, ring_f, ring_ok = carry
+        ck, cr, cq, cv = xs  # each [C, B]
+        fs = []
+        for t in range(C):
+            cand = pair_sc(
+                ck[t][:, None], cr[t][:, None], cq[t][:, None],
+                ring_key, ring_rpos, ring_qpos, ring_f, ring_ok,
+            )
+            best = jnp.max(cand, axis=1)
+            for u in range(t):
+                cu = pair_sc(
+                    ck[t], cr[t], cq[t], ck[u], cr[u], cq[u], fs[u], cv[u]
+                )
+                best = jnp.maximum(best, cu)
+            fs.append(jnp.where(cv[t], jnp.maximum(span, best), NEG))
+        f_chunk = jnp.stack(fs)  # [C, B]
         new_carry = (
-            jnp.concatenate([ck[:, None], ring_key[:, :-1]], axis=1),
-            jnp.concatenate([cr[:, None], ring_rpos[:, :-1]], axis=1),
-            jnp.concatenate([cq[:, None], ring_qpos[:, :-1]], axis=1),
-            jnp.concatenate([f[:, None], ring_f[:, :-1]], axis=1),
-            jnp.concatenate([cv[:, None], ring_ok[:, :-1]], axis=1),
+            jnp.concatenate([ck[::-1].T, ring_key[:, : W - C]], axis=1),
+            jnp.concatenate([cr[::-1].T, ring_rpos[:, : W - C]], axis=1),
+            jnp.concatenate([cq[::-1].T, ring_qpos[:, : W - C]], axis=1),
+            jnp.concatenate([f_chunk[::-1].T, ring_f[:, : W - C]], axis=1),
+            jnp.concatenate([cv[::-1].T, ring_ok[:, : W - C]], axis=1),
         )
-        return new_carry, f
+        return new_carry, f_chunk
 
     init = (
         jnp.full((B, W), IMAX, dtype=jnp.int32),
@@ -183,9 +205,13 @@ def map_batch_core(
         jnp.full((B, W), NEG, dtype=jnp.int32),
         jnp.zeros((B, W), dtype=bool),
     )
-    xs = (key2_s.T, rpos_s.T, qpos_s.T, valid_s.T)
-    _, f_steps = jax.lax.scan(step, init, xs)
-    f = f_steps.T  # [B, A]
+
+    def chunked(x, dtype=None):
+        return x.T.reshape(NC, C, B)
+
+    xs = (chunked(key2_s), chunked(rpos_s), chunked(qpos_s), chunked(valid_s))
+    _, f_steps = jax.lax.scan(step, init, xs)  # [NC, C, B]
+    f = f_steps.reshape(A, B).T  # [B, A]
 
     # ---- 4. segmented max over rid runs ----
     boundary = jnp.concatenate(
