@@ -100,6 +100,9 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar="FLOAT", help="Max overhang/maplen ratio for -F")
     ap.add_argument("--use-min-ref", action="store_true",
                     help="Index the smaller of the Q/T sets (two-set strategy)")
+    ap.add_argument("--engine", choices=["host", "device"], default="host",
+                    help="Overlap engine: host (exact, writes overlaps.paf) or "
+                         "device (TPU pipeline; no PAF side-output)")
     ap.add_argument("-q", "--quiet", action="count", default=0,
                     help="-q errors+warnings, -qq errors, -qqq nothing")
     ap.add_argument("-v", "--verbose", action="count", default=0,
@@ -150,6 +153,7 @@ def main(argv=None) -> int:
                 AvaBuilder()
                 .num_reads(args.num_reads)
                 .remove_internal(args.filter_contained, args.max_overhang_ratio)
+                .engine(args.engine)
                 .threads(args.threads)
                 .tmpdir(tmp.path)
                 .seed(args.seed)
@@ -168,6 +172,7 @@ def main(argv=None) -> int:
                 .query_num_reads(q)
                 .remove_internal(args.filter_contained, args.max_overhang_ratio)
                 .use_min_ref(args.use_min_ref)
+                .engine(args.engine)
                 .threads(args.threads)
                 .tmpdir(tmp.path)
                 .seed(args.seed)

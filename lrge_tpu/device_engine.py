@@ -87,7 +87,10 @@ class DeviceOverlapEngine:
             fake = [b"ACGT" * (L // 8)] * 2
             self.count_batch([b"__warm0", b"__warm1"], fake)
 
-    def count_batch(self, names: list, seqs: list) -> BatchCounts:
+    def count_batch(self, names: list, seqs: list, collect_pairs=None) -> BatchCounts:
+        """Count overlaps per query; optionally collect passing target
+        ids per query into ``collect_pairs`` (a dict qid -> rid array),
+        used for the ava strategy's symmetric pair counting."""
         n = len(seqs)
         counts = np.zeros(n, dtype=np.int32)
         had = np.zeros(n, dtype=bool)
@@ -148,7 +151,7 @@ class DeviceOverlapEngine:
                 ids[g] = batch.ids
             dual = np.where(ids >= 0, qdualrank[ids], 0).astype(np.int32)
             selfr = np.where(ids >= 0, qselfrid[ids], -1).astype(np.int32)
-            bcounts, n_anchors, max_run, mcount = fused_count_many(
+            bcounts, n_anchors, max_run, mcount, pair_rids = fused_count_many(
                 jnp.asarray(codes),
                 jnp.asarray(lengths),
                 self.dev.keys,
@@ -174,6 +177,8 @@ class DeviceOverlapEngine:
             n_anchors = np.asarray(n_anchors)
             max_run = np.asarray(max_run)
             mcount = np.asarray(mcount)
+            if collect_pairs is not None:
+                pair_rids = np.asarray(pair_rids)
             for g in range(nb):
                 for row in range(B):
                     qid = ids[g, row]
@@ -186,11 +191,16 @@ class DeviceOverlapEngine:
                         or mcount[g, row] > M
                         or needs_scalar_sketch(seq_row, p.k, p.w, False)
                     )
+                    if collect_pairs is not None and bcounts[g, row] > pair_rids.shape[-1]:
+                        needs_host = True  # pair list truncated
                     if needs_host:
                         retry.append(qid)
                     else:
                         counts[qid] = bcounts[g, row]
                         had[qid] = bcounts[g, row] > 0
+                        if collect_pairs is not None:
+                            pr = pair_rids[g, row]
+                            collect_pairs[qid] = pr[pr >= 0].copy()
         for qid, (c, h) in zip(
             retry, self._host_count_many([(names[i], seqs[i]) for i in retry])
         ):

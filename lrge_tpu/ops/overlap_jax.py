@@ -230,6 +230,17 @@ def map_batch_core(
     passing = run_end & valid_s & (seg_f >= min_score)
     counts = jnp.sum(passing, axis=1).astype(jnp.int32)
 
+    # passing-target id list per query (for symmetric/pair counting):
+    # compact passing run-end rids to the front via a stable sort
+    PMAX = 512
+    pk_s, prid = jax.lax.sort(
+        (jnp.where(passing, jnp.arange(A, dtype=jnp.int32)[None, :], IMAX), rid_s),
+        dimension=1,
+        num_keys=1,
+        is_stable=True,
+    )
+    pair_rids = jnp.where(pk_s[:, :PMAX] != IMAX, prid[:, :PMAX], -1)
+
     # longest (rid,strand) run: if it exceeds W the DP window may have
     # missed predecessors and the row needs the exact host path
     boundary2 = jnp.concatenate(
@@ -240,7 +251,7 @@ def map_batch_core(
     run_start, _ = jax.lax.associative_scan(seg_op, (start_candidates, boundary2), axis=1)
     run_len = jnp.where(valid_s, idxs - run_start + 1, 0)
     max_run = jnp.max(run_len, axis=1).astype(jnp.int32)
-    return counts, n_anchors, max_run
+    return counts, n_anchors, max_run, pair_rids
 
 
 @dataclass
@@ -318,7 +329,7 @@ def fused_count_core(
     mhash, mpos, mstrand, mcount = sketch_core(
         codes, lengths, k=k, w=w, max_minimizers=M
     )
-    counts, n_anchors, max_run = map_batch_core(
+    counts, n_anchors, max_run, pair_rids = map_batch_core(
         idx_keys,
         idx_rid,
         idx_pos,
@@ -341,7 +352,7 @@ def fused_count_core(
         no_dual=no_dual,
         no_diag=no_diag,
     )
-    return counts, n_anchors, max_run, mcount
+    return counts, n_anchors, max_run, mcount, pair_rids
 
 
 fused_count = functools.partial(

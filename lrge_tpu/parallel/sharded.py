@@ -103,7 +103,7 @@ def sharded_count_fn(mesh: Mesh, *, k, max_gap, bw, min_score, num_anchors, wind
     def per_device(idx_keys, idx_rid, idx_pos, idx_strand, rank, mid_occ,
                    mhash, mpos, mstrand, qlen, qdualrank, qselfrid, chn_pen_gap):
         # inside shard_map: leading shard axes are size 1 on each device
-        counts, n_anchors, max_run = map_batch_core(
+        counts, n_anchors, max_run, _pair_rids = map_batch_core(
             idx_keys[0],
             idx_rid[0],
             idx_pos[0],

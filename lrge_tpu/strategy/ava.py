@@ -48,7 +48,9 @@ class AvaStrategy(Estimate):
         threads: int = 1,
         seed: Optional[int] = None,
         platform: Platform = Platform.NANOPORE,
+        engine: str = "host",
     ):
+        self.engine = engine
         self.input = Path(input_path)
         self.num_reads = num_reads
         self.num_bases = 0
@@ -104,6 +106,8 @@ class AvaStrategy(Estimate):
         engine = OverlapEngine(index)
         overlap_threshold = params.min_chain_score
 
+        if self.engine == "device" and not self.remove_internal:
+            return self._count_device(engine, reads, sum_len, read_lengths)
         from ..engine import ParallelHostMapper
 
         mapper = ParallelHostMapper(engine.index, self.threads)
@@ -158,6 +162,72 @@ class AvaStrategy(Estimate):
         return estimates, no_mapping_count
 
 
+    def _count_device(self, engine, reads, sum_len, read_lengths):
+        """Device counting path with symmetric pair accumulation.
+
+        Each passing (query, target) pair is discovered exactly once
+        (the no-dual mask keeps only targets whose name is >= the
+        query's) and increments both reads' counters (`ava.rs:289-301`
+        semantics; the seen-pairs dedup is implied by uniqueness).
+        """
+        from ..device_engine import DeviceOverlapEngine
+        from ..estimate import per_read_estimate
+
+        logger.info("Using device overlap engine (overlaps.paf not written)")
+        dev = DeviceOverlapEngine(engine.index)
+        dev.warmup()
+        names = [n for n, _ in reads]
+        seqs = [s for _, s in reads]
+        pairs: dict[int, np.ndarray] = {}
+        res = dev.count_batch(names, seqs, collect_pairs=pairs)
+        ovlap_counter = {nm: 0 for nm in names}
+        for qid, rids in pairs.items():
+            qname = names[qid]
+            for t in rids:
+                tname = engine.index.names[int(t)]
+                if tname == qname:
+                    continue
+                ovlap_counter[tname] += 1
+                ovlap_counter[qname] += 1
+        # rows that fell back to host used count_overlaps (query-side
+        # unique targets); recover their pairs with the host mapper
+        host_rows = [qid for qid in range(len(reads)) if qid not in pairs]
+        for qid in host_rows:
+            recs = engine.map_read(names[qid], seqs[qid])
+            uniq = set()
+            for m in recs:
+                if m.target_name == names[qid] or m.target_name in uniq:
+                    continue
+                uniq.add(m.target_name)
+                ovlap_counter[m.target_name] += 1
+                ovlap_counter[names[qid]] += 1
+        no_mapping_count = 0
+        overlap_threshold = engine.params.min_chain_score
+        avg_read_len = float(np.float32(sum_len) / np.float32(self.num_reads - 1))
+        estimates = np.empty(len(ovlap_counter), dtype=np.float32)
+        for i, (rid_name, n_ovlaps) in enumerate(ovlap_counter.items()):
+            if n_ovlaps == 0:
+                no_mapping_count += 1
+                est = float("inf")
+            else:
+                est = per_read_estimate(
+                    read_lengths[rid_name],
+                    avg_read_len,
+                    self.num_reads - 1,
+                    n_ovlaps,
+                    overlap_threshold,
+                )
+            estimates[i] = est
+        if no_mapping_count > 0:
+            pct = no_mapping_count / self.num_reads * 100.0
+            logger.info(
+                "%d (%.2f%%) read(s) did not overlap any other reads",
+                no_mapping_count,
+                pct,
+            )
+        return estimates, no_mapping_count
+
+
 class AvaBuilder:
     """Builder mirroring `liblrge/src/ava/builder.rs`."""
 
@@ -189,6 +259,10 @@ class AvaBuilder:
         if isinstance(platform, str):
             platform = Platform.from_str(platform)
         self._kw["platform"] = platform
+        return self
+
+    def engine(self, engine: str) -> "AvaBuilder":
+        self._kw["engine"] = engine
         return self
 
     def build(self, input_path) -> AvaStrategy:

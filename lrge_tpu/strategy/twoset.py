@@ -59,8 +59,10 @@ class TwoSetStrategy(Estimate):
         threads: int = 1,
         seed: Optional[int] = None,
         platform: Platform = Platform.NANOPORE,
+        engine: str = "host",
     ):
         self.input = Path(input_path)
+        self.engine = engine
         self.target_num_reads = target_num_reads
         self.query_num_reads = query_num_reads
         self.target_num_bases = 0
@@ -162,8 +164,13 @@ class TwoSetStrategy(Estimate):
 
         Queries are mapped on a forked worker pool when ``threads > 1``
         (the reference's rayon pool analogue, `twoset.rs:252-270`).
+        With ``engine="device"`` the TPU counting pipeline is used and
+        the PAF side-output is skipped (counts and estimates are exact;
+        use the default host engine when overlaps.paf is needed).
         """
         engine = self._build_engine(targets)
+        if self.engine == "device" and not self.remove_internal:
+            return self._align_reads_device(engine, queries, avg_target_len)
         from ..engine import ParallelHostMapper
 
         mapper = ParallelHostMapper(engine.index, self.threads)
@@ -196,6 +203,28 @@ class TwoSetStrategy(Estimate):
         mapper.close()
         self._log_no_mapping(no_mapping_count, len(queries))
         return estimates, no_mapping_count
+
+    def _align_reads_device(self, engine, queries, avg_target_len):
+        """Device counting path (no PAF side-output)."""
+        from ..device_engine import DeviceOverlapEngine
+        from ..estimate import per_read_estimate_batch
+
+        logger.info("Using device overlap engine (overlaps.paf not written)")
+        dev = DeviceOverlapEngine(engine.index)
+        dev.warmup()
+        names = [n for n, _ in queries]
+        seqs = [s for _, s in queries]
+        res = dev.count_batch(names, seqs)
+        no_mapping_count = int((~res.had_mapping).sum())
+        estimates = per_read_estimate_batch(
+            np.array([len(s) for s in seqs]),
+            avg_target_len,
+            self.target_num_reads,
+            res.counts,
+            engine.params.min_chain_score,
+        )
+        self._log_no_mapping(no_mapping_count, len(queries))
+        return estimates.astype(np.float32), no_mapping_count
 
     def _align_reads_inverse(self, targets, queries, avg_target_len):
         """--use-min-ref direction: index queries, stream targets
@@ -308,6 +337,12 @@ class TwoSetBuilder:
         if isinstance(platform, str):
             platform = Platform.from_str(platform)
         self._kw["platform"] = platform
+        return self
+
+    def engine(self, engine: str) -> "TwoSetBuilder":
+        """"host" (default; writes overlaps.paf) or "device" (TPU
+        counting pipeline, no PAF side-output)."""
+        self._kw["engine"] = engine
         return self
 
     def build(self, input_path) -> TwoSetStrategy:

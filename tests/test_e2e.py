@@ -144,3 +144,50 @@ class TestAva:
         )
         estimates, no_map = strat.generate_estimates()
         assert len(estimates) == 100
+
+
+class TestDeviceEngineStrategies:
+    def test_twoset_device_matches_host(self, reads_file, tmp_path):
+        host = (
+            TwoSetBuilder()
+            .target_num_reads(150)
+            .query_num_reads(40)
+            .seed(11)
+            .tmpdir(tmp_path / "h")
+            .build(reads_file)
+            .estimate(finite=True)
+        )
+        dev = (
+            TwoSetBuilder()
+            .target_num_reads(150)
+            .query_num_reads(40)
+            .seed(11)
+            .engine("device")
+            .tmpdir(tmp_path / "d")
+            .build(reads_file)
+            .estimate(finite=True)
+        )
+        assert dev.estimate == host.estimate
+        assert dev.lower == host.lower and dev.upper == host.upper
+        assert dev.no_mapping_count == host.no_mapping_count
+
+    def test_ava_device_matches_host(self, reads_file, tmp_path):
+        host = (
+            AvaBuilder()
+            .num_reads(120)
+            .seed(11)
+            .tmpdir(tmp_path / "ha")
+            .build(reads_file)
+            .estimate(finite=True)
+        )
+        dev = (
+            AvaBuilder()
+            .num_reads(120)
+            .seed(11)
+            .engine("device")
+            .tmpdir(tmp_path / "da")
+            .build(reads_file)
+            .estimate(finite=True)
+        )
+        assert dev.estimate == host.estimate
+        assert dev.no_mapping_count == host.no_mapping_count
