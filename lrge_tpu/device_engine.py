@@ -163,6 +163,9 @@ class DeviceOverlapEngine:
                 jnp.asarray(dual),
                 jnp.asarray(selfr),
                 jnp.float32(p.chn_pen_gap()),
+                self.dev.uhash,
+                self.dev.uoff,
+                self.dev.boff,
                 k=p.k,
                 w=p.w,
                 max_gap=p.max_gap,
@@ -172,6 +175,8 @@ class DeviceOverlapEngine:
                 window=self.window,
                 no_dual=p.no_dual,
                 no_diag=p.no_diag,
+                bucket_bits=self.dev.bucket_bits,
+                bucket_kmax=self.dev.bucket_kmax,
             )
             bcounts = np.asarray(bcounts)
             n_anchors = np.asarray(n_anchors)

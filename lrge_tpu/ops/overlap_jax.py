@@ -65,6 +65,9 @@ def map_batch_core(
     qdualrank: jnp.ndarray,  # [B] int32
     qselfrid: jnp.ndarray,  # [B] int32 (-1 = not a target)
     chn_pen_gap: jnp.ndarray,  # f32 scalar
+    uhash: jnp.ndarray = None,  # [U] int32 unique transformed hashes
+    uoff: jnp.ndarray = None,  # [U+1] int32 posting offsets per unique hash
+    boff: jnp.ndarray = None,  # [2^bits+1] int32 unique-hash offsets per bucket
     *,
     k: int,
     max_gap: int,
@@ -74,6 +77,8 @@ def map_batch_core(
     window: int,
     no_dual: bool,
     no_diag: bool,
+    bucket_bits: int = 0,
+    bucket_kmax: int = 8,
 ):
     """Returns ``(counts [B], n_anchors [B], best_f [B,A], rid_sorted
     [B,A])``; ``n_anchors`` > ``num_anchors`` flags overflow."""
@@ -84,9 +89,31 @@ def map_batch_core(
 
     # ---- 1. lookup ----
     qk = jax.lax.bitcast_convert_type(mhash ^ jnp.uint32(0x80000000), jnp.int32)
-    start = jnp.searchsorted(idx_keys, qk.ravel(), side="left").reshape(B, M)
-    end = jnp.searchsorted(idx_keys, qk.ravel(), side="right").reshape(B, M)
-    occ = (end - start).astype(jnp.int32)
+    if bucket_bits > 0:
+        # bucketed hash dictionary: O(KMAX) gathers per minimizer
+        # instead of two full binary searches over the postings array
+        hash_bits = 2 * k
+        nb = 1 << bucket_bits
+        ub = jnp.minimum(mhash >> (hash_bits - bucket_bits), jnp.uint32(nb - 1)).astype(
+            jnp.int32
+        )
+        b0 = boff[ub]
+        b1 = boff[ub + 1]
+        U = uhash.shape[0]
+        found = jnp.full((B, M), -1, dtype=jnp.int32)
+        for j in range(bucket_kmax):
+            pos = b0 + j
+            ok = pos < b1
+            val = uhash[jnp.minimum(pos, U - 1)]
+            hit = ok & (val == qk)
+            found = jnp.where(hit, pos, found)
+        foundc = jnp.maximum(found, 0)
+        start = uoff[foundc]
+        occ = jnp.where(found >= 0, uoff[foundc + 1] - start, 0).astype(jnp.int32)
+    else:
+        start = jnp.searchsorted(idx_keys, qk.ravel(), side="left").reshape(B, M)
+        end = jnp.searchsorted(idx_keys, qk.ravel(), side="right").reshape(B, M)
+        occ = (end - start).astype(jnp.int32)
     occ = jnp.where(occ > mid_occ, 0, occ)
     # invalid minimizer slots (0xFFFFFFFF padding) must never match,
     # even when the index itself is padded with sentinel keys
@@ -256,7 +283,13 @@ def map_batch_core(
 
 @dataclass
 class DeviceIndex:
-    """Device-resident arrays of a TargetIndex (ONT fast path)."""
+    """Device-resident arrays of a TargetIndex (ONT fast path).
+
+    Alongside the sorted postings, a bucketed unique-hash dictionary
+    (``uhash``/``uoff``/``boff``) supports O(KMAX)-gather lookups: the
+    top ``bucket_bits`` of the hash index a bucket of distinct hashes,
+    within which at most ``bucket_kmax`` linear probes find the match.
+    """
 
     keys: jnp.ndarray
     rid: jnp.ndarray
@@ -264,10 +297,35 @@ class DeviceIndex:
     strand: jnp.ndarray
     rank: jnp.ndarray
     mid_occ: int
+    uhash: jnp.ndarray = None
+    uoff: jnp.ndarray = None
+    boff: jnp.ndarray = None
+    bucket_bits: int = 0
+    bucket_kmax: int = 8
 
     @classmethod
-    def from_host(cls, index) -> "DeviceIndex":
+    def from_host(cls, index, bucket_bits: int = 22) -> "DeviceIndex":
         keys32 = (index.keys.astype(np.uint32) ^ np.uint32(0x80000000)).view(np.int32)
+        hash_bits = 2 * index.params.k
+        # unique-hash dictionary over the sorted postings
+        uh, ustart = np.unique(keys32, return_index=True)
+        uoff = np.concatenate([ustart, [len(keys32)]]).astype(np.int32)
+        kmax = 8
+        if bucket_bits > 0 and hash_bits > bucket_bits and len(uh):
+            uh_u = (uh.view(np.uint32) ^ np.uint32(0x80000000)).astype(np.uint64)
+            ub = (uh_u >> np.uint64(hash_bits - bucket_bits)).astype(np.int64)
+            nb = 1 << bucket_bits
+            boff = np.zeros(nb + 1, dtype=np.int32)
+            np.add.at(boff, ub + 1, 1)
+            np.cumsum(boff, out=boff)
+            max_bucket = int(np.max(np.diff(boff))) if len(uh) else 0
+            kmax = max(4, max_bucket)
+            if kmax > 16:  # pathological collisions: disable dictionary
+                bucket_bits = 0
+                boff = np.zeros(1, dtype=np.int32)
+        else:
+            bucket_bits = 0
+            boff = np.zeros(1, dtype=np.int32)
         return cls(
             keys=jnp.asarray(keys32),
             rid=jnp.asarray(index.rid.astype(np.int32)),
@@ -275,6 +333,11 @@ class DeviceIndex:
             strand=jnp.asarray(index.strand.astype(np.int32)),
             rank=jnp.asarray(index.name_rank.astype(np.int32)),
             mid_occ=int(index.mid_occ),
+            uhash=jnp.asarray(uh.astype(np.int32)),
+            uoff=jnp.asarray(uoff),
+            boff=jnp.asarray(boff),
+            bucket_bits=bucket_bits,
+            bucket_kmax=kmax,
         )
 
 
@@ -289,6 +352,8 @@ map_batch_device = functools.partial(
         "window",
         "no_dual",
         "no_diag",
+        "bucket_bits",
+        "bucket_kmax",
     ),
 )(map_batch_core)
 
@@ -305,6 +370,9 @@ def fused_count_core(
     qdualrank,
     qselfrid,
     chn_pen_gap,
+    uhash=None,
+    uoff=None,
+    boff=None,
     *,
     k,
     w,
@@ -315,6 +383,8 @@ def fused_count_core(
     window,
     no_dual,
     no_diag,
+    bucket_bits=0,
+    bucket_kmax=8,
 ):
     """Sketch + map in a single program (one dispatch, one compile).
 
@@ -343,6 +413,9 @@ def fused_count_core(
         qdualrank,
         qselfrid,
         chn_pen_gap,
+        uhash,
+        uoff,
+        boff,
         k=k,
         max_gap=max_gap,
         bw=bw,
@@ -351,6 +424,8 @@ def fused_count_core(
         window=window,
         no_dual=no_dual,
         no_diag=no_diag,
+        bucket_bits=bucket_bits,
+        bucket_kmax=bucket_kmax,
     )
     return counts, n_anchors, max_run, mcount, pair_rids
 
@@ -367,6 +442,8 @@ fused_count = functools.partial(
         "window",
         "no_dual",
         "no_diag",
+        "bucket_bits",
+        "bucket_kmax",
     ),
 )(fused_count_core)
 
@@ -383,6 +460,9 @@ def fused_count_many_core(
     qdualrank,  # [NB, B]
     qselfrid,  # [NB, B]
     chn_pen_gap,
+    uhash=None,
+    uoff=None,
+    boff=None,
     *,
     k,
     w,
@@ -393,6 +473,8 @@ def fused_count_many_core(
     window,
     no_dual,
     no_diag,
+    bucket_bits=0,
+    bucket_kmax=8,
 ):
     """A super-batch of query batches in ONE dispatch via lax.map.
 
@@ -416,6 +498,9 @@ def fused_count_many_core(
             qd,
             qs,
             chn_pen_gap,
+            uhash,
+            uoff,
+            boff,
             k=k,
             w=w,
             max_gap=max_gap,
@@ -425,6 +510,8 @@ def fused_count_many_core(
             window=window,
             no_dual=no_dual,
             no_diag=no_diag,
+            bucket_bits=bucket_bits,
+            bucket_kmax=bucket_kmax,
         )
 
     return jax.lax.map(body, (codes, lengths, qdualrank, qselfrid))
@@ -442,5 +529,7 @@ fused_count_many = functools.partial(
         "window",
         "no_dual",
         "no_diag",
+        "bucket_bits",
+        "bucket_kmax",
     ),
 )(fused_count_many_core)
