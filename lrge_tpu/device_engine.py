@@ -27,7 +27,7 @@ import numpy as np
 from .engine import OverlapEngine
 from .ops.encode import make_batches
 from .ops.index import TargetIndex
-from .ops.overlap_jax import DeviceIndex, fused_count_many
+from .ops.overlap_jax import DeviceIndex, map_many, sketch_many
 from .ops.sketch import needs_scalar_sketch
 
 logger = logging.getLogger("lrge")
@@ -65,7 +65,18 @@ class DeviceOverlapEngine:
         self.super_batch = super_batch
         self.device_ok = (not self.params.hpc) and 2 * self.params.k <= 32
         if self.device_ok:
-            self.dev = DeviceIndex.from_host(index)
+            # bound per-query anchors by splitting large indices into
+            # sub-indices (counts are disjoint per sub-index and summed)
+            n_post = len(index.keys)
+            n_uniq = max(1, len(np.unique(index.keys)) if n_post else 1)
+            avg_occ = n_post / n_uniq
+            exp_anchors = (self.length_buckets[-1] / 3.0) * avg_occ
+            self.n_sub = max(1, int(np.ceil(exp_anchors / (0.6 * num_anchors))))
+            if self.n_sub == 1:
+                self.devs = [DeviceIndex.from_host(index)]
+            else:
+                self.devs = DeviceIndex.subindexes(index, self.n_sub)
+            logger.debug("device engine: %d sub-indexes", self.n_sub)
 
     def _host_count(self, name: bytes, seq: bytes) -> tuple[int, int]:
         return self.host.count_overlaps(name, seq)
@@ -151,39 +162,51 @@ class DeviceOverlapEngine:
                 ids[g] = batch.ids
             dual = np.where(ids >= 0, qdualrank[ids], 0).astype(np.int32)
             selfr = np.where(ids >= 0, qselfrid[ids], -1).astype(np.int32)
-            bcounts, n_anchors, max_run, mcount, pair_rids = fused_count_many(
-                jnp.asarray(codes),
-                jnp.asarray(lengths),
-                self.dev.keys,
-                self.dev.rid,
-                self.dev.pos,
-                self.dev.strand,
-                self.dev.rank,
-                jnp.int32(self.dev.mid_occ),
-                jnp.asarray(dual),
-                jnp.asarray(selfr),
-                jnp.float32(p.chn_pen_gap()),
-                self.dev.uhash,
-                self.dev.uoff,
-                self.dev.boff,
-                k=p.k,
-                w=p.w,
-                max_gap=p.max_gap,
-                bw=p.bw,
-                min_score=p.min_chain_score,
-                num_anchors=self.num_anchors,
-                window=self.window,
-                no_dual=p.no_dual,
-                no_diag=p.no_diag,
-                bucket_bits=self.dev.bucket_bits,
-                bucket_kmax=self.dev.bucket_kmax,
+            mhash, mpos, mstrand, mcount_d = sketch_many(
+                jnp.asarray(codes), jnp.asarray(lengths), k=p.k, w=p.w
             )
-            bcounts = np.asarray(bcounts)
-            n_anchors = np.asarray(n_anchors)
-            max_run = np.asarray(max_run)
-            mcount = np.asarray(mcount)
+            bcounts = np.zeros((SUPER, B), dtype=np.int64)
+            n_anchors = np.zeros((SUPER, B), dtype=np.int64)
+            max_run = np.zeros((SUPER, B), dtype=np.int64)
+            pair_lists = []
+            for dev in self.devs:
+                c_s, a_s, r_s, p_s = map_many(
+                    mhash,
+                    mpos,
+                    mstrand,
+                    jnp.asarray(lengths),
+                    jnp.asarray(dual),
+                    jnp.asarray(selfr),
+                    dev.keys,
+                    dev.rid,
+                    dev.pos,
+                    dev.strand,
+                    dev.rank,
+                    jnp.int32(dev.mid_occ),
+                    jnp.float32(p.chn_pen_gap()),
+                    dev.uhash,
+                    dev.uoff,
+                    dev.boff,
+                    k=p.k,
+                    max_gap=p.max_gap,
+                    bw=p.bw,
+                    min_score=p.min_chain_score,
+                    num_anchors=self.num_anchors,
+                    window=self.window,
+                    no_dual=p.no_dual,
+                    no_diag=p.no_diag,
+                    bucket_bits=dev.bucket_bits,
+                    bucket_kmax=dev.bucket_kmax,
+                    packed_pos=True,
+                )
+                bcounts += np.asarray(c_s)
+                n_anchors = np.maximum(n_anchors, np.asarray(a_s))
+                max_run = np.maximum(max_run, np.asarray(r_s))
+                if collect_pairs is not None:
+                    pair_lists.append(np.asarray(p_s))
+            mcount = np.asarray(mcount_d)
             if collect_pairs is not None:
-                pair_rids = np.asarray(pair_rids)
+                pair_rids = np.concatenate(pair_lists, axis=-1)
             for g in range(nb):
                 for row in range(B):
                     qid = ids[g, row]
@@ -196,8 +219,11 @@ class DeviceOverlapEngine:
                         or mcount[g, row] > M
                         or needs_scalar_sketch(seq_row, p.k, p.w, False)
                     )
-                    if collect_pairs is not None and bcounts[g, row] > pair_rids.shape[-1]:
-                        needs_host = True  # pair list truncated
+                    if (
+                        collect_pairs is not None
+                        and int((pair_rids[g, row] >= 0).sum()) < bcounts[g, row]
+                    ):
+                        needs_host = True  # per-sub pair list truncated
                     if needs_host:
                         retry.append(qid)
                     else:

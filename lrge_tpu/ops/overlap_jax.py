@@ -79,6 +79,7 @@ def map_batch_core(
     no_diag: bool,
     bucket_bits: int = 0,
     bucket_kmax: int = 8,
+    packed_pos: bool = False,
 ):
     """Returns ``(counts [B], n_anchors [B], best_f [B,A], rid_sorted
     [B,A])``; ``n_anchors`` > ``num_anchors`` flags overflow."""
@@ -131,8 +132,13 @@ def map_batch_core(
     p_idx = jnp.clip(p_idx, 0, max(N - 1, 0))
 
     rid = jnp.where(valid, idx_rid[p_idx], IMAX)
-    rpos = jnp.where(valid, idx_pos[p_idx], 0)
-    tstrand = idx_strand[p_idx]
+    if packed_pos:
+        pp = idx_pos[p_idx]
+        rpos = jnp.where(valid, pp >> 1, 0)
+        tstrand = pp & 1
+    else:
+        rpos = jnp.where(valid, idx_pos[p_idx], 0)
+        tstrand = idx_strand[p_idx]
     qstr = jnp.take_along_axis(mstrand, m_idx, axis=1)
     strand = jnp.where(valid, tstrand ^ qstr, 0)
     mq = jnp.take_along_axis(mpos, m_idx, axis=1)
@@ -305,8 +311,36 @@ class DeviceIndex:
 
     @classmethod
     def from_host(cls, index, bucket_bits: int = 22) -> "DeviceIndex":
-        keys32 = (index.keys.astype(np.uint32) ^ np.uint32(0x80000000)).view(np.int32)
-        hash_bits = 2 * index.params.k
+        keys, rid, pos, strand = _pruned_postings(index)
+        return cls._build(
+            keys, rid, pos, strand, index.name_rank, index.mid_occ,
+            index.params.k, bucket_bits,
+        )
+
+    @classmethod
+    def subindexes(cls, index, n_sub: int, bucket_bits: int = 22) -> list:
+        """Split into ``n_sub`` sub-indices by target read (rid modulo).
+
+        Each sub-index is complete for its targets, so per-sub counts
+        are disjoint and sum to the full-index counts; this bounds the
+        per-query anchor count for very large indices.
+        """
+        keys, rid, pos, strand = _pruned_postings(index)
+        subs = []
+        for s in range(n_sub):
+            sel = rid % n_sub == s
+            subs.append(
+                cls._build(
+                    keys[sel], rid[sel], pos[sel], strand[sel],
+                    index.name_rank, index.mid_occ, index.params.k, bucket_bits,
+                )
+            )
+        return subs
+
+    @classmethod
+    def _build(cls, keys_u64, rid, pos, strand, name_rank, mid_occ, k, bucket_bits):
+        keys32 = (keys_u64.astype(np.uint32) ^ np.uint32(0x80000000)).view(np.int32)
+        hash_bits = 2 * k
         # unique-hash dictionary over the sorted postings
         uh, ustart = np.unique(keys32, return_index=True)
         uoff = np.concatenate([ustart, [len(keys32)]]).astype(np.int32)
@@ -328,17 +362,34 @@ class DeviceIndex:
             boff = np.zeros(1, dtype=np.int32)
         return cls(
             keys=jnp.asarray(keys32),
-            rid=jnp.asarray(index.rid.astype(np.int32)),
-            pos=jnp.asarray(index.pos.astype(np.int32)),
-            strand=jnp.asarray(index.strand.astype(np.int32)),
-            rank=jnp.asarray(index.name_rank.astype(np.int32)),
-            mid_occ=int(index.mid_occ),
+            rid=jnp.asarray(rid.astype(np.int32)),
+            # pack strand into the position's low bit: one fewer [B, A]
+            # random gather in the expansion stage
+            pos=jnp.asarray((pos.astype(np.int32) << 1) | strand.astype(np.int32)),
+            strand=jnp.asarray(strand.astype(np.int32)),
+            rank=jnp.asarray(name_rank.astype(np.int32)),
+            mid_occ=int(mid_occ),
             uhash=jnp.asarray(uh.astype(np.int32)),
             uoff=jnp.asarray(uoff),
             boff=jnp.asarray(boff),
             bucket_bits=bucket_bits,
             bucket_kmax=kmax,
         )
+
+
+def _pruned_postings(index):
+    """Global postings minus minimizers above the occurrence cutoff.
+
+    The mid_occ filter depends only on index-side occurrences, so it is
+    applied once at build time (exact; minimap2 applies the same test
+    per query seed)."""
+    keys_all = index.keys
+    if len(keys_all):
+        uh_all, inv, cnt = np.unique(keys_all, return_inverse=True, return_counts=True)
+        keep = cnt[inv] <= index.mid_occ
+    else:
+        keep = np.ones(0, dtype=bool)
+    return keys_all[keep], index.rid[keep], index.pos[keep], index.strand[keep]
 
 
 map_batch_device = functools.partial(
@@ -354,6 +405,7 @@ map_batch_device = functools.partial(
         "no_diag",
         "bucket_bits",
         "bucket_kmax",
+        "packed_pos",
     ),
 )(map_batch_core)
 
@@ -385,6 +437,7 @@ def fused_count_core(
     no_diag,
     bucket_bits=0,
     bucket_kmax=8,
+    packed_pos=False,
 ):
     """Sketch + map in a single program (one dispatch, one compile).
 
@@ -426,6 +479,7 @@ def fused_count_core(
         no_diag=no_diag,
         bucket_bits=bucket_bits,
         bucket_kmax=bucket_kmax,
+        packed_pos=packed_pos,
     )
     return counts, n_anchors, max_run, mcount, pair_rids
 
@@ -444,6 +498,7 @@ fused_count = functools.partial(
         "no_diag",
         "bucket_bits",
         "bucket_kmax",
+        "packed_pos",
     ),
 )(fused_count_core)
 
@@ -475,6 +530,7 @@ def fused_count_many_core(
     no_diag,
     bucket_bits=0,
     bucket_kmax=8,
+    packed_pos=False,
 ):
     """A super-batch of query batches in ONE dispatch via lax.map.
 
@@ -512,6 +568,7 @@ def fused_count_many_core(
             no_diag=no_diag,
             bucket_bits=bucket_bits,
             bucket_kmax=bucket_kmax,
+            packed_pos=packed_pos,
         )
 
     return jax.lax.map(body, (codes, lengths, qdualrank, qselfrid))
@@ -531,5 +588,112 @@ fused_count_many = functools.partial(
         "no_diag",
         "bucket_bits",
         "bucket_kmax",
+        "packed_pos",
     ),
 )(fused_count_many_core)
+
+
+def sketch_many_core(codes, lengths, *, k, w):
+    """Sketch a super-batch [NB, B, L] in one dispatch."""
+    from .sketch_jax import sketch_core
+
+    M = codes.shape[-1] // 2
+
+    def body(args):
+        c, ln = args
+        return sketch_core(c, ln, k=k, w=w, max_minimizers=M)
+
+    return jax.lax.map(body, (codes, lengths))
+
+
+sketch_many = functools.partial(jax.jit, static_argnames=("k", "w"))(sketch_many_core)
+
+
+def map_many_core(
+    mhash,  # [NB, B, M]
+    mpos,
+    mstrand,
+    qlen,  # [NB, B]
+    qdualrank,
+    qselfrid,
+    idx_keys,
+    idx_rid,
+    idx_pos,
+    idx_strand,
+    idx_rank,
+    mid_occ,
+    chn_pen_gap,
+    uhash,
+    uoff,
+    boff,
+    *,
+    k,
+    max_gap,
+    bw,
+    min_score,
+    num_anchors,
+    window,
+    no_dual,
+    no_diag,
+    bucket_bits,
+    bucket_kmax,
+    packed_pos,
+):
+    """Map pre-sketched super-batches against one (sub-)index.
+
+    Splitting sketch from map lets large indices be processed as
+    multiple sub-indices (bounded anchor capacity) without re-sketching
+    the queries for every sub-index.
+    """
+
+    def body(args):
+        mh, mp, ms, ql, qd, qs = args
+        return map_batch_core(
+            idx_keys,
+            idx_rid,
+            idx_pos,
+            idx_strand,
+            idx_rank,
+            mid_occ,
+            mh,
+            mp,
+            ms,
+            ql,
+            qd,
+            qs,
+            chn_pen_gap,
+            uhash,
+            uoff,
+            boff,
+            k=k,
+            max_gap=max_gap,
+            bw=bw,
+            min_score=min_score,
+            num_anchors=num_anchors,
+            window=window,
+            no_dual=no_dual,
+            no_diag=no_diag,
+            bucket_bits=bucket_bits,
+            bucket_kmax=bucket_kmax,
+            packed_pos=packed_pos,
+        )
+
+    return jax.lax.map(body, (mhash, mpos, mstrand, qlen, qdualrank, qselfrid))
+
+
+map_many = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "max_gap",
+        "bw",
+        "min_score",
+        "num_anchors",
+        "window",
+        "no_dual",
+        "no_diag",
+        "bucket_bits",
+        "bucket_kmax",
+        "packed_pos",
+    ),
+)(map_many_core)
