@@ -66,20 +66,92 @@ def calc_mid_occ(counts_per_distinct: np.ndarray, params: OverlapParams) -> int:
     return mid_occ
 
 
+def _sketch_reads_device(seqs, params, lengths):
+    """Sketch many reads with the batched device kernel.
+
+    Returns per-read (hash, pos, strand) arrays; rows that hit a sketch
+    loop quirk or exceed capacity are recomputed with the exact host
+    path, so results equal the per-read host sketch exactly.
+    """
+    from .encode import make_batches
+    from .sketch import needs_scalar_sketch, sketch_scalar
+    from .overlap_jax import sketch_many
+
+    import jax.numpy as jnp
+
+    per_read = [None] * len(seqs)
+    batches = make_batches(
+        seqs, batch_size=256, pad_to=2048, pow2_lengths=True, pad_batch=True
+    )
+    by_len: dict[int, list] = {}
+    for b in batches:
+        by_len.setdefault(b.codes.shape[1], []).append(b)
+    for L, group in by_len.items():
+        M = L // 2
+        codes = np.stack([g.codes for g in group])
+        lens = np.stack([g.lengths for g in group])
+        mhash, mpos, mstrand, mcount = map(
+            np.asarray,
+            sketch_many(jnp.asarray(codes), jnp.asarray(lens), k=params.k, w=params.w),
+        )
+        for gi, g in enumerate(group):
+            for row, rid in enumerate(g.ids):
+                if rid < 0:
+                    continue
+                codes_row = g.codes[row, : g.lengths[row]]
+                if mcount[gi, row] > M or needs_scalar_sketch(
+                    codes_row, params.k, params.w, False
+                ):
+                    mz = sketch_scalar(codes_row, params.k, params.w, False)
+                    per_read[rid] = (
+                        (mz.key >> np.uint64(8)).astype(np.uint64),
+                        mz.pos.astype(np.int32),
+                        mz.strand.astype(np.int8),
+                    )
+                else:
+                    cnt = mcount[gi, row]
+                    per_read[rid] = (
+                        mhash[gi, row, :cnt].astype(np.uint64),
+                        mpos[gi, row, :cnt].astype(np.int32),
+                        mstrand[gi, row, :cnt].astype(np.int8),
+                    )
+    return per_read
+
+
 def build_index(
     seqs: Sequence[bytes],
     names: Sequence[bytes],
     params: OverlapParams,
+    device: str = "auto",
 ) -> TargetIndex:
-    """Sketch all target reads and build the sorted postings index."""
+    """Sketch all target reads and build the sorted postings index.
+
+    ``device="auto"`` sketches on the accelerator (batched) for the
+    non-HPC presets when the read set is large; results are identical to
+    the per-read host sketch (quirk rows recomputed exactly).
+    """
     all_keys = []
     all_rid = []
     all_pos = []
     all_strand = []
-    lengths = np.empty(len(seqs), dtype=np.int32)
+    lengths = np.array([len(s) for s in seqs], dtype=np.int32)
+    use_device = (
+        device == "device"
+        or (device == "auto" and not params.hpc and 2 * params.k <= 32 and len(seqs) >= 256)
+    )
+    if use_device:
+        per_read = _sketch_reads_device(seqs, params, lengths)
+        for rid, entry in enumerate(per_read):
+            key, pos, strand = entry
+            if len(key) == 0:
+                continue
+            all_keys.append(key)
+            all_rid.append(np.full(len(key), rid, dtype=np.int32))
+            all_pos.append(pos)
+            all_strand.append(strand)
+        return _assemble_index(all_keys, all_rid, all_pos, all_strand, names, lengths, params)
     for rid, seq in enumerate(seqs):
         codes = encode_seq(seq)
-        lengths[rid] = len(codes)
         mz = sketch_read(codes, params.k, params.w, params.hpc)
         if len(mz.key) == 0:
             continue
@@ -87,6 +159,10 @@ def build_index(
         all_rid.append(np.full(len(mz.key), rid, dtype=np.int32))
         all_pos.append(mz.pos.astype(np.int32))
         all_strand.append(mz.strand.astype(np.int8))
+    return _assemble_index(all_keys, all_rid, all_pos, all_strand, names, lengths, params)
+
+
+def _assemble_index(all_keys, all_rid, all_pos, all_strand, names, lengths, params):
     if all_keys:
         keys = np.concatenate(all_keys)
         rid = np.concatenate(all_rid)

@@ -159,3 +159,23 @@ class TestJaxSketch:
                 codes = batch.codes[row, : batch.lengths[row]]
                 ref = minimizers_numpy(codes, 15, 5, False)
                 assert mcount[row] == len(ref.key)
+
+
+def test_index_build_device_equals_host():
+    from lrge_tpu.ops.index import build_index
+    from lrge_tpu.platform import AVA_ONT
+
+    rng = np.random.default_rng(1)
+    seqs = []
+    for i in range(300):
+        n = int(rng.integers(100, 3000))
+        s = bytearray(random_read(rng, n, n_prob=0.01 if i % 7 == 0 else 0.0))
+        seqs.append(bytes(s))
+    names = [b"r%d" % i for i in range(300)]
+    a = build_index(seqs, names, AVA_ONT, device="host")
+    b = build_index(seqs, names, AVA_ONT, device="device")
+    assert (a.keys == b.keys).all()
+    assert (a.rid == b.rid).all()
+    assert (a.pos == b.pos).all()
+    assert (a.strand == b.strand).all()
+    assert a.mid_occ == b.mid_occ
