@@ -63,7 +63,9 @@ class DeviceOverlapEngine:
         self.window = window
         self.length_buckets = tuple(sorted(length_buckets))
         self.super_batch = super_batch
-        self.device_ok = (not self.params.hpc) and 2 * self.params.k <= 32
+        self.device_ok = (
+            (not self.params.hpc) and 2 * self.params.k <= 32 and len(index.keys) > 0
+        )
         if self.device_ok:
             # bound per-query anchors by splitting large indices into
             # sub-indices (counts are disjoint per sub-index and summed)
