@@ -74,46 +74,72 @@ def _sketch_reads_device(seqs, params, lengths):
     path, so results equal the per-read host sketch exactly.
     """
     from .encode import make_batches
-    from .sketch import needs_scalar_sketch, sketch_scalar
+    from .sketch import needs_scalar_sketch, sketch_read
     from .overlap_jax import sketch_many
 
     import jax.numpy as jnp
 
+    # Use EXACTLY the device engine's program shape (SUPER x B x L) so
+    # this shares the one compiled sketch program instead of compiling
+    # per ragged group (remote compilation is expensive here).
+    SUPER, B, L = 8, 128, 4096
+    M = L // 2
     per_read = [None] * len(seqs)
+    short_rows = [i for i, s in enumerate(seqs) if len(s) <= L]
+    long_rows = [i for i, s in enumerate(seqs) if len(s) > L]
+    for i in long_rows:
+        mz = sketch_read(encode_seq(seqs[i]), params.k, params.w, False)
+        per_read[i] = (
+            (mz.key >> np.uint64(8)).astype(np.uint64),
+            mz.pos.astype(np.int32),
+            mz.strand.astype(np.int8),
+        )
     batches = make_batches(
-        seqs, batch_size=256, pad_to=2048, pow2_lengths=True, pad_batch=True
+        [seqs[i] for i in short_rows],
+        ids=short_rows,
+        batch_size=B,
+        pad_to=L,
+        pow2_lengths=False,
+        pad_batch=True,
     )
-    by_len: dict[int, list] = {}
     for b in batches:
-        by_len.setdefault(b.codes.shape[1], []).append(b)
-    for L, group in by_len.items():
-        M = L // 2
-        codes = np.stack([g.codes for g in group])
-        lens = np.stack([g.lengths for g in group])
+        if b.codes.shape[1] != L:
+            pad = np.full((B, L - b.codes.shape[1]), 4, dtype=np.uint8)
+            b.codes = np.concatenate([b.codes, pad], axis=1)
+    for off in range(0, len(batches), SUPER):
+        group = batches[off : off + SUPER]
+        codes = np.full((SUPER, B, L), 4, dtype=np.uint8)
+        lens = np.zeros((SUPER, B), dtype=np.int32)
+        ids = np.full((SUPER, B), -1, dtype=np.int32)
+        for g, batch in enumerate(group):
+            codes[g] = batch.codes
+            lens[g] = batch.lengths
+            ids[g] = batch.ids
         mhash, mpos, mstrand, mcount = map(
             np.asarray,
             sketch_many(jnp.asarray(codes), jnp.asarray(lens), k=params.k, w=params.w),
         )
-        for gi, g in enumerate(group):
-            for row, rid in enumerate(g.ids):
+        for g in range(len(group)):
+            for row in range(B):
+                rid = ids[g, row]
                 if rid < 0:
                     continue
-                codes_row = g.codes[row, : g.lengths[row]]
-                if mcount[gi, row] > M or needs_scalar_sketch(
+                codes_row = codes[g, row, : lens[g, row]]
+                if mcount[g, row] > M or needs_scalar_sketch(
                     codes_row, params.k, params.w, False
                 ):
-                    mz = sketch_scalar(codes_row, params.k, params.w, False)
+                    mz = sketch_read(codes_row, params.k, params.w, False)
                     per_read[rid] = (
                         (mz.key >> np.uint64(8)).astype(np.uint64),
                         mz.pos.astype(np.int32),
                         mz.strand.astype(np.int8),
                     )
                 else:
-                    cnt = mcount[gi, row]
+                    cnt = mcount[g, row]
                     per_read[rid] = (
-                        mhash[gi, row, :cnt].astype(np.uint64),
-                        mpos[gi, row, :cnt].astype(np.int32),
-                        mstrand[gi, row, :cnt].astype(np.int8),
+                        mhash[g, row, :cnt].astype(np.uint64),
+                        mpos[g, row, :cnt].astype(np.int32),
+                        mstrand[g, row, :cnt].astype(np.int8),
                     )
     return per_read
 
