@@ -117,7 +117,7 @@ def setup_logging(quiet: int, verbose: int) -> None:
     if total == 1:
         level = logging.DEBUG
     elif total >= 2:
-        level = logging.DEBUG  # trace maps to DEBUG
+        level = 5  # TRACE: per-read estimates (reference -vv)
     elif total == -1:
         level = logging.WARNING
     elif total == -2:

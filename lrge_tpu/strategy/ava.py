@@ -30,6 +30,8 @@ from ..ops.index import build_index
 from ..platform import Platform, preset_for
 
 logger = logging.getLogger("lrge")
+TRACE = 5
+logging.addLevelName(TRACE, "TRACE")
 
 DEFAULT_AVA_NUM_READS = 25_000
 
@@ -149,6 +151,7 @@ class AvaStrategy(Estimate):
                     n_ovlaps,
                     overlap_threshold,
                 )
+            logger.log(TRACE, "Estimate for %s: %s", rid_name.decode("utf-8", "replace"), est)
             estimates[i] = est
         if no_mapping_count > 0:
             pct = no_mapping_count / self.num_reads * 100.0

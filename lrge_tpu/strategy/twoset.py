@@ -38,6 +38,8 @@ from ..ops.index import build_index
 from ..platform import Platform, preset_for
 
 logger = logging.getLogger("lrge")
+TRACE = 5  # below DEBUG, like the reference's TRACE level
+logging.addLevelName(TRACE, "TRACE")
 
 DEFAULT_TARGET_NUM_READS = 10_000
 DEFAULT_QUERY_NUM_READS = 5_000
@@ -199,6 +201,7 @@ class TwoSetStrategy(Estimate):
                     len(unique),
                     overlap_threshold,
                 )
+                logger.log(TRACE, "Estimate for %s: %s", qname.decode("utf-8", "replace"), est)
                 estimates[qi] = est
         mapper.close()
         self._log_no_mapping(no_mapping_count, len(queries))
@@ -284,6 +287,7 @@ class TwoSetStrategy(Estimate):
                     n_ovlaps,
                     overlap_threshold,
                 )
+            logger.log(TRACE, "Estimate for %s: %s", rid_name.decode("utf-8", "replace"), est)
             estimates[i] = est
         self._log_no_mapping(no_mapping_count, len(queries))
         return estimates, no_mapping_count
