@@ -323,7 +323,9 @@ class DeviceIndex:
 
         Each sub-index is complete for its targets, so per-sub counts
         are disjoint and sum to the full-index counts; this bounds the
-        per-query anchor count for very large indices.
+        per-query anchor count for very large indices.  All sub-index
+        arrays are padded to common shapes so ONE compiled map program
+        serves every sub-index.
         """
         keys, rid, pos, strand = _pruned_postings(index)
         subs = []
@@ -335,6 +337,30 @@ class DeviceIndex:
                     index.name_rank, index.mid_occ, index.params.k, bucket_bits,
                 )
             )
+        # pad postings/dictionary arrays to common shapes (sentinel
+        # entries are unreachable: bucket offsets only span real uniques)
+        npad = max(int(s.keys.shape[0]) for s in subs)
+        upad = max(int(s.uhash.shape[0]) for s in subs)
+        kmax = max(s.bucket_kmax for s in subs)
+        for s in subs:
+            s.bucket_kmax = kmax
+            n = int(s.keys.shape[0])
+            u = int(s.uhash.shape[0])
+            if n < npad:
+                s.keys = jnp.concatenate(
+                    [s.keys, jnp.full(npad - n, IMAX, jnp.int32)]
+                )
+                s.rid = jnp.concatenate([s.rid, jnp.full(npad - n, IMAX, jnp.int32)])
+                s.pos = jnp.concatenate([s.pos, jnp.zeros(npad - n, jnp.int32)])
+                s.strand = jnp.concatenate([s.strand, jnp.zeros(npad - n, jnp.int32)])
+            if u < upad:
+                last = s.uoff[-1]
+                s.uhash = jnp.concatenate(
+                    [s.uhash, jnp.full(upad - u, IMAX, jnp.int32)]
+                )
+                s.uoff = jnp.concatenate(
+                    [s.uoff, jnp.full(upad - u, last, jnp.int32)]
+                )
         return subs
 
     @classmethod
