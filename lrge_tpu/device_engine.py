@@ -87,9 +87,11 @@ class DeviceOverlapEngine:
         """Parallel exact host counting (native chain DP releases the GIL)."""
         from concurrent.futures import ThreadPoolExecutor
 
+        import os
+
         if len(items) <= 1:
             return [self._host_count(nm, sq) for nm, sq in items]
-        with ThreadPoolExecutor(max_workers=min(8, len(items))) as ex:
+        with ThreadPoolExecutor(max_workers=min(os.cpu_count() or 2, len(items))) as ex:
             return list(ex.map(lambda t: self._host_count(*t), items))
 
     def warmup(self) -> None:

@@ -144,29 +144,68 @@ def _sketch_reads_device(seqs, params, lengths):
     return per_read
 
 
+_SKETCH_PARAMS = None
+
+
+def _sketch_worker_init(params):
+    global _SKETCH_PARAMS
+    _SKETCH_PARAMS = params
+
+
+def _sketch_worker(seq: bytes):
+    mz = sketch_read(
+        encode_seq(seq), _SKETCH_PARAMS.k, _SKETCH_PARAMS.w, _SKETCH_PARAMS.hpc
+    )
+    return (
+        (mz.key >> np.uint64(8)).astype(np.uint64),
+        mz.pos.astype(np.int32),
+        mz.strand.astype(np.int8),
+    )
+
+
+def _sketch_reads_parallel(seqs, params, workers: int = None):
+    """Sketch reads across forked worker processes (exact host sketch).
+
+    Index sketching is embarrassingly parallel; forked numpy workers
+    beat shipping per-position sketch arrays back over the device relay.
+    """
+    import multiprocessing as mp
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
+    workers = workers or os.cpu_count() or 2
+    ctx = mp.get_context("fork")
+    with ProcessPoolExecutor(
+        workers, mp_context=ctx, initializer=_sketch_worker_init, initargs=(params,)
+    ) as pool:
+        return list(pool.map(_sketch_worker, seqs, chunksize=64))
+
+
 def build_index(
     seqs: Sequence[bytes],
     names: Sequence[bytes],
     params: OverlapParams,
     device: str = "auto",
+    threads: int = 8,
 ) -> TargetIndex:
     """Sketch all target reads and build the sorted postings index.
 
-    ``device="auto"`` sketches on the accelerator (batched) for the
-    non-HPC presets when the read set is large; results are identical to
-    the per-read host sketch (quirk rows recomputed exactly).
+    ``device="auto"`` parallelises sketching across forked workers for
+    large read sets; ``"device"`` sketches on the accelerator.  All
+    paths produce identical indexes (quirk rows use the exact scalar
+    oracle everywhere).
     """
     all_keys = []
     all_rid = []
     all_pos = []
     all_strand = []
     lengths = np.array([len(s) for s in seqs], dtype=np.int32)
-    use_device = (
-        device == "device"
-        or (device == "auto" and not params.hpc and 2 * params.k <= 32 and len(seqs) >= 256)
-    )
-    if use_device:
+    per_read = None
+    if device == "device":
         per_read = _sketch_reads_device(seqs, params, lengths)
+    elif device == "auto" and len(seqs) >= 2000 and threads > 1:
+        per_read = _sketch_reads_parallel(seqs, params, workers=threads)
+    if per_read is not None:
         for rid, entry in enumerate(per_read):
             key, pos, strand = entry
             if len(key) == 0:
