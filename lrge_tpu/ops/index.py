@@ -175,10 +175,19 @@ def _sketch_reads_parallel(seqs, params, workers: int = None):
 
     workers = workers or os.cpu_count() or 2
     ctx = mp.get_context("fork")
-    with ProcessPoolExecutor(
-        workers, mp_context=ctx, initializer=_sketch_worker_init, initargs=(params,)
-    ) as pool:
-        return list(pool.map(_sketch_worker, seqs, chunksize=64))
+    try:
+        with ProcessPoolExecutor(
+            workers, mp_context=ctx, initializer=_sketch_worker_init, initargs=(params,)
+        ) as pool:
+            return list(pool.map(_sketch_worker, seqs, chunksize=64))
+    except Exception as e:  # fork after JAX init can misbehave; stay safe
+        import logging
+
+        logging.getLogger("lrge").warning(
+            "parallel index sketching failed (%s); falling back to serial", e
+        )
+        _sketch_worker_init(params)
+        return [_sketch_worker(s) for s in seqs]
 
 
 def build_index(
