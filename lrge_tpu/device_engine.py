@@ -154,6 +154,9 @@ class DeviceOverlapEngine:
         B = self.batch_size
         M = L // 2
         retry = []
+        # stage 1: enqueue every super-batch (dispatch is async; keeping
+        # results as device arrays pipelines host prep behind execution)
+        inflight = []
         for off in range(0, len(batches), SUPER):
             group = batches[off : off + SUPER]
             nb = len(group)
@@ -169,40 +172,47 @@ class DeviceOverlapEngine:
             mhash, mpos, mstrand, mcount_d = sketch_many(
                 jnp.asarray(codes), jnp.asarray(lengths), k=p.k, w=p.w
             )
+            subs = []
+            for dev in self.devs:
+                subs.append(
+                    map_many(
+                        mhash,
+                        mpos,
+                        mstrand,
+                        jnp.asarray(lengths),
+                        jnp.asarray(dual),
+                        jnp.asarray(selfr),
+                        dev.keys,
+                        dev.rid,
+                        dev.pos,
+                        dev.strand,
+                        dev.rank,
+                        jnp.int32(dev.mid_occ),
+                        jnp.float32(p.chn_pen_gap()),
+                        dev.uhash,
+                        dev.uoff,
+                        dev.boff,
+                        k=p.k,
+                        max_gap=p.max_gap,
+                        bw=p.bw,
+                        min_score=p.min_chain_score,
+                        num_anchors=self.num_anchors,
+                        window=self.window,
+                        no_dual=p.no_dual,
+                        no_diag=p.no_diag,
+                        bucket_bits=dev.bucket_bits,
+                        bucket_kmax=dev.bucket_kmax,
+                        packed_pos=True,
+                    )
+                )
+            inflight.append((nb, codes, lengths, ids, mcount_d, subs))
+        # stage 2: collect
+        for nb, codes, lengths, ids, mcount_d, subs in inflight:
             bcounts = np.zeros((SUPER, B), dtype=np.int64)
             n_anchors = np.zeros((SUPER, B), dtype=np.int64)
             max_run = np.zeros((SUPER, B), dtype=np.int64)
             pair_lists = []
-            for dev in self.devs:
-                c_s, a_s, r_s, p_s = map_many(
-                    mhash,
-                    mpos,
-                    mstrand,
-                    jnp.asarray(lengths),
-                    jnp.asarray(dual),
-                    jnp.asarray(selfr),
-                    dev.keys,
-                    dev.rid,
-                    dev.pos,
-                    dev.strand,
-                    dev.rank,
-                    jnp.int32(dev.mid_occ),
-                    jnp.float32(p.chn_pen_gap()),
-                    dev.uhash,
-                    dev.uoff,
-                    dev.boff,
-                    k=p.k,
-                    max_gap=p.max_gap,
-                    bw=p.bw,
-                    min_score=p.min_chain_score,
-                    num_anchors=self.num_anchors,
-                    window=self.window,
-                    no_dual=p.no_dual,
-                    no_diag=p.no_diag,
-                    bucket_bits=dev.bucket_bits,
-                    bucket_kmax=dev.bucket_kmax,
-                    packed_pos=True,
-                )
+            for c_s, a_s, r_s, p_s in subs:
                 bcounts += np.asarray(c_s)
                 n_anchors = np.maximum(n_anchors, np.asarray(a_s))
                 max_run = np.maximum(max_run, np.asarray(r_s))
