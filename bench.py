@@ -66,17 +66,8 @@ def main():
     qnames = [b"q%d" % i for i in range(n_queries)]
 
     params = preset_for(Platform.NANOPORE, dual=True)
-    # compile the shared sketch program before timing the build
-    import jax.numpy as jnp
-
-    from lrge_tpu.ops.overlap_jax import sketch_many
-
-    t_c = time.perf_counter()
-    sketch_many(
-        jnp.zeros((8, 128, 4096), jnp.uint8), jnp.zeros((8, 128), jnp.int32),
-        k=params.k, w=params.w,
-    )[0].block_until_ready()
-    print(f"[bench] sketch compile: {time.perf_counter()-t_c:.1f}s", file=sys.stderr)
+    # index build first: its fork pool must run before the JAX backend
+    # spins up threads
     t0 = time.perf_counter()
     index = build_index(targets, tnames, params)
     t_index = time.perf_counter() - t0

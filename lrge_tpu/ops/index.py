@@ -174,6 +174,9 @@ def _sketch_reads_parallel(seqs, params, workers: int = None):
     from concurrent.futures import ProcessPoolExecutor
 
     workers = workers or os.cpu_count() or 2
+    # fork is only safe before the JAX backend spins up its threads;
+    # callers (bench/strategies) build the index before touching the
+    # device, and the except-fallback keeps us correct regardless
     ctx = mp.get_context("fork")
     try:
         with ProcessPoolExecutor(
