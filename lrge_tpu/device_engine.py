@@ -122,11 +122,18 @@ class DeviceOverlapEngine:
         max_bucket = self.length_buckets[-1]
         long_rows = [i for i, s in enumerate(seqs) if len(s) > max_bucket]
         dev_rows = [i for i in range(n) if len(seqs[i]) <= max_bucket]
-        for i, (c, h) in zip(
-            long_rows, self._host_count_many([(names[i], seqs[i]) for i in long_rows])
-        ):
-            counts[i], had[i] = c, h
-            fallback += 1
+        # long reads go to the host path concurrently with device
+        # execution (the relay waits release the GIL)
+        from concurrent.futures import ThreadPoolExecutor
+
+        long_pool = ThreadPoolExecutor(1) if long_rows else None
+        long_future = (
+            long_pool.submit(
+                self._host_count_many, [(names[i], seqs[i]) for i in long_rows]
+            )
+            if long_rows
+            else None
+        )
 
         qdualrank = np.array(
             [self.host._dual_rank(nm) if p.no_dual else 0 for nm in names], dtype=np.int32
@@ -251,6 +258,11 @@ class DeviceOverlapEngine:
         ):
             counts[qid], had[qid] = c, h
             fallback += 1
+        if long_future is not None:
+            for i, (c, h) in zip(long_rows, long_future.result()):
+                counts[i], had[i] = c, h
+                fallback += 1
+            long_pool.shutdown()
         if fallback:
             logger.debug("device path: %d/%d rows fell back to host", fallback, n)
         return BatchCounts(counts, had, fallback)
