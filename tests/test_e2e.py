@@ -191,3 +191,29 @@ class TestDeviceEngineStrategies:
         )
         assert dev.estimate == host.estimate
         assert dev.no_mapping_count == host.no_mapping_count
+
+
+def test_twoset_threads_match_serial(reads_file, tmp_path):
+    # forked-worker mapping must not change results
+    serial = (
+        TwoSetBuilder()
+        .target_num_reads(120)
+        .query_num_reads(40)
+        .seed(5)
+        .threads(1)
+        .tmpdir(tmp_path / "s")
+        .build(reads_file)
+        .estimate(finite=True)
+    )
+    pooled = (
+        TwoSetBuilder()
+        .target_num_reads(120)
+        .query_num_reads(40)
+        .seed(5)
+        .threads(2)
+        .tmpdir(tmp_path / "p")
+        .build(reads_file)
+        .estimate(finite=True)
+    )
+    assert pooled.estimate == serial.estimate
+    assert pooled.no_mapping_count == serial.no_mapping_count
