@@ -38,23 +38,8 @@ from .strategy import (
 
 __version__ = "0.1.0"
 
-
-class _TwoSetModule:
-    """Namespace alias so ``lrge_tpu.twoset.Builder()`` works like
-    ``liblrge::twoset::Builder``."""
-
-    Builder = TwoSetBuilder
-    DEFAULT_TARGET_NUM_READS = DEFAULT_TARGET_NUM_READS
-    DEFAULT_QUERY_NUM_READS = DEFAULT_QUERY_NUM_READS
-
-
-class _AvaModule:
-    Builder = AvaBuilder
-    DEFAULT_AVA_NUM_READS = DEFAULT_AVA_NUM_READS
-
-
-twoset = _TwoSetModule
-ava = _AvaModule
+# namespace mirrors of liblrge::twoset / liblrge::ava
+from . import ava, twoset  # noqa: E402
 
 __all__ = [
     "errors",
