@@ -5,6 +5,7 @@ import pytest
 
 from lrge_tpu.compat.rust_rand import (
     ChaCha12Rng,
+    UniformU32,
     _chacha_rounds,
     _splitmix64_stream,
     sample_indices,
@@ -13,8 +14,20 @@ from lrge_tpu.compat.rust_rand import (
 )
 
 
+def test_stdrng_value_stability():
+    # rand's rngs/std.rs test_stdrng_construction value-stability target:
+    # StdRng::from_seed([1,0,0,0, 23,0,0,0, 200,1,0,0, 210,30,0,0, 0*16])
+    # .next_u64() == 10719222850664546238.  Validates the ChaCha12 core,
+    # the from_seed key layout, and BlockRng's (lo, hi) u64 word order.
+    seed = bytes([1, 0, 0, 0, 23, 0, 0, 0, 200, 1, 0, 0, 210, 30, 0, 0] + [0] * 16)
+    rng = ChaCha12Rng(seed)
+    assert rng.next_u64() == 10719222850664546238
+
+
 def test_splitmix64_known_vectors():
-    # Canonical SplitMix64 outputs for seed 0 (Vigna's reference impl).
+    # Canonical SplitMix64 outputs for seed 0 (Vigna's reference impl);
+    # rand_core 0.9's seed_from_u64 keys ChaCha with the low 32 bits of
+    # each output.
     out = _splitmix64_stream(0, 3)
     assert out[0] == 0xE220A8397B1DCDAF
     assert out[1] == 0x6E789E6AA1B965F4
@@ -121,10 +134,43 @@ class TestSplitIntoSets:
         assert s1 | s2 == set(orig)
 
 
-def test_sample_small_floyd_path():
-    # toy.bam config: length=500, amount=15 (T=10 + Q=5, alignment.rs:52-68)
+def test_sample_toy_bam_selects_inplace():
+    # toy.bam config: length=500, amount=15 (T=10 + Q=5, alignment.rs:52-68).
+    # Cost model: amount>11 and 500 < (10 + 1.6*15)*15 = 510 -> sample_inplace.
     rng = ChaCha12Rng.seed_from_u64(6)
     idx = sample_indices(rng, 500, 15)
     assert len(idx) == 15
     assert len(set(idx)) == 15
     assert all(0 <= x < 500 for x in idx)
+    # must match a direct partial Fisher-Yates with the same stream
+    from lrge_tpu.compat.rust_rand import _sample_inplace
+
+    rng2 = ChaCha12Rng.seed_from_u64(6)
+    assert idx == _sample_inplace(rng2, 500, 15)
+
+
+def test_sample_small_amount_floyd_shortcut():
+    # amount <= 11 always takes Floyd's regardless of length
+    from lrge_tpu.compat.rust_rand import _sample_floyd
+
+    rng = ChaCha12Rng.seed_from_u64(6)
+    idx = sample_indices(rng, 20, 11)
+    rng2 = ChaCha12Rng.seed_from_u64(6)
+    assert idx == _sample_floyd(rng2, 20, 11)
+
+
+def test_uniform_distribution_bounds():
+    d = UniformU32(0, 500)
+    rng = ChaCha12Rng.seed_from_u64(3)
+    vals = [d.sample(rng) for _ in range(200)]
+    assert all(0 <= v < 500 for v in vals)
+
+
+def test_canon_consumes_one_u64_for_small_ranges():
+    # For tiny ranges the refinement branch (prob ~range/2^64) never
+    # fires, so each draw consumes exactly two u32 words.
+    rng = ChaCha12Rng.seed_from_u64(11)
+    rng.gen_range_u32_inclusive(0, 499)
+    ref = ChaCha12Rng.seed_from_u64(11)
+    ref.next_u64()
+    assert rng.next_u32() == ref.next_u32()
