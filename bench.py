@@ -73,7 +73,7 @@ def main():
     t_index = time.perf_counter() - t0
     print(f"[bench] index build: {t_index:.2f}s ({len(index.keys)} postings)", file=sys.stderr)
 
-    engine = DeviceOverlapEngine(index, batch_size=128, num_anchors=4096, window=512)
+    engine = DeviceOverlapEngine(index, batch_size=128, num_anchors=4096, window=int(os.environ.get("BENCH_WINDOW", 64)))
     t_w = time.perf_counter()
     engine.warmup()  # compile all length buckets
     print(f"[bench] warmup/compile: {time.perf_counter()-t_w:.1f}s", file=sys.stderr)

@@ -51,7 +51,7 @@ class DeviceOverlapEngine:
         *,
         batch_size: int = 128,
         num_anchors: int = 4096,
-        window: int = 512,
+        window: int = 64,
         length_buckets: tuple = LENGTH_BUCKETS,
         super_batch: int = 8,
     ):
@@ -207,6 +207,8 @@ class DeviceOverlapEngine:
                         window=self.window,
                         no_dual=p.no_dual,
                         no_diag=p.no_diag,
+                        max_chain_skip=p.max_chain_skip,
+                        q_occ_frac=p.q_occ_frac,
                         bucket_bits=dev.bucket_bits,
                         bucket_kmax=dev.bucket_kmax,
                         packed_pos=True,

@@ -19,7 +19,7 @@ import numpy as np
 from .ops.chain import Anchors, Chain, backtrack, chain_dp, collect_anchors
 from .ops.encode import encode_seq
 from .ops.index import TargetIndex, build_index
-from .ops.sketch import sketch_read
+from .ops.sketch import sketch_read, sketch_seq
 from .paf import PafRecord
 from .platform import OverlapParams
 
@@ -126,9 +126,8 @@ class OverlapEngine:
 
     def map_read(self, qname: bytes, seq: bytes) -> List[PafRecord]:
         """Map one query; returns all chains as PAF records (score desc)."""
-        codes = encode_seq(seq)
-        qlen = len(codes)
-        mz = sketch_read(codes, self.params.k, self.params.w, self.params.hpc)
+        qlen = len(seq)
+        mz = sketch_seq(seq, self.params.k, self.params.w, self.params.hpc)
         if len(mz.key) == 0:
             return []
         anchors, rep_len = collect_anchors(
@@ -200,9 +199,8 @@ class OverlapEngine:
             # fails min_cnt; use the exact full path
             recs = self.map_read(qname, seq)
             return len({r.target_name for r in recs}), int(bool(recs))
-        codes = encode_seq(seq)
-        qlen = len(codes)
-        mz = sketch_read(codes, self.params.k, self.params.w, self.params.hpc)
+        qlen = len(seq)
+        mz = sketch_seq(seq, self.params.k, self.params.w, self.params.hpc)
         if len(mz.key) == 0:
             return 0, 0
         anchors, _ = collect_anchors(

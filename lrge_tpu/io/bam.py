@@ -100,14 +100,11 @@ def read_sam(stream: BinaryIO) -> Iterator[Record]:
 
 
 def read_cram(stream: BinaryIO) -> Iterator[Record]:
-    """CRAM support gate.
+    """Unaligned CRAM 3.0 (`io.rs:87-117` parity; mapped records raise
+    with the reference's message, `io.rs:167-172`)."""
+    from .cram import read_cram as _read
 
-    The reference reads CRAM via noodles; a native CRAM codec
-    (rANS/external blocks) is planned but not yet implemented here.
-    """
-    raise NotImplementedError(
-        "CRAM input is not supported yet; convert to unaligned BAM or FASTQ"
-    )
+    return _read(stream)
 
 
 # ---------------------------------------------------------------------------

@@ -17,9 +17,13 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <atomic>
+#include <deque>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -171,6 +175,197 @@ PyObject* py_parse_fastx(PyObject*, PyObject* arg) {
 }
 
 // ---------------------------------------------------------------------
+// minimizer sketching (exact port of ops/sketch.py sketch_scalar, the
+// minimap2 sketch.c-semantics oracle; handles ambiguous bases and HPC)
+// ---------------------------------------------------------------------
+
+inline uint64_t mm_hash64(uint64_t key, uint64_t mask) {
+  key = (~key + (key << 21)) & mask;
+  key = key ^ (key >> 24);
+  key = ((key + (key << 3)) + (key << 8)) & mask;
+  key = key ^ (key >> 14);
+  key = ((key + (key << 2)) + (key << 4)) & mask;
+  key = key ^ (key >> 28);
+  key = (key + (key << 31)) & mask;
+  return key;
+}
+
+struct MiniMM {
+  uint64_t key;  // hash<<8 | span; UINT64_MAX = invalid
+  int64_t pos;
+  int32_t z;
+};
+
+constexpr uint64_t MM_INF = ~0ull;  // real keys are <= 46 bits
+
+void sketch_one(const unsigned char* seq, int64_t n, int k, int w, bool hpc,
+                std::vector<MiniMM>& out) {
+  const uint64_t mask = (1ull << (2 * k)) - 1;
+  const int shift1 = 2 * (k - 1);
+  uint64_t kmer[2] = {0, 0};
+  std::vector<MiniMM> buf(w, {MM_INF, -1, 0});
+  std::deque<int> tq;  // last <=k HPC run lengths
+  int64_t kmer_span = 0;
+  MiniMM mn{MM_INF, -1, 0};
+  int min_pos = 0;
+  int64_t l = 0;
+  int buf_pos = 0;
+  auto same = [](const MiniMM& a, const MiniMM& b) {
+    return a.pos == b.pos && a.z == b.z;
+  };
+  for (int64_t i = 0; i < n; ++i) {
+    int c = NT4[seq[i]];
+    MiniMM info{MM_INF, -1, 0};
+    if (c < 4) {
+      if (hpc) {
+        int64_t skip_len = 1;
+        if (i + 1 < n && NT4[seq[i + 1]] == c) {
+          skip_len = 2;
+          while (i + skip_len < n && NT4[seq[i + skip_len]] == c) ++skip_len;
+          i += skip_len - 1;
+        }
+        tq.push_back((int)skip_len);
+        kmer_span += skip_len;
+        if ((int)tq.size() > k) {
+          kmer_span -= tq.front();
+          tq.pop_front();
+        }
+      } else {
+        kmer_span = l + 1 < k ? l + 1 : k;
+      }
+      kmer[0] = ((kmer[0] << 2) | (uint64_t)c) & mask;
+      kmer[1] = (kmer[1] >> 2) | ((uint64_t)(3 ^ c) << shift1);
+      if (kmer[0] == kmer[1]) continue;  // symmetric k-mer: skip slot
+      int z = kmer[0] < kmer[1] ? 0 : 1;
+      ++l;
+      if (l >= k && kmer_span < 256) {
+        uint64_t key = (mm_hash64(kmer[z], mask) << 8) | (uint64_t)kmer_span;
+        info = {key, i, z};
+      }
+    } else {
+      l = 0;
+      tq.clear();
+      kmer_span = 0;
+    }
+    buf[buf_pos] = info;
+    if (l == w + k - 1 && mn.key != MM_INF) {
+      // first full window: emit ties of the current minimum (excluding
+      // the held entry itself)
+      for (int j = buf_pos + 1; j < w; ++j)
+        if (mn.key == buf[j].key && !same(buf[j], mn)) out.push_back(buf[j]);
+      for (int j = 0; j < buf_pos; ++j)
+        if (mn.key == buf[j].key && !same(buf[j], mn)) out.push_back(buf[j]);
+    }
+    if (info.key <= mn.key) {
+      if (l >= w + k && mn.key != MM_INF) out.push_back(mn);
+      mn = info;
+      min_pos = buf_pos;
+    } else if (buf_pos == min_pos) {
+      if (l >= w + k - 1 && mn.key != MM_INF) out.push_back(mn);
+      mn = {MM_INF, -1, 0};
+      // rescan includes the current slot at the end (range(buf_pos+1))
+      for (int j = buf_pos + 1; j < w; ++j)
+        if (mn.key >= buf[j].key) mn = buf[j], min_pos = j;
+      for (int j = 0; j <= buf_pos; ++j)
+        if (mn.key >= buf[j].key) mn = buf[j], min_pos = j;
+      if (l >= w + k - 1 && mn.key != MM_INF) {
+        for (int j = buf_pos + 1; j < w; ++j)
+          if (mn.key == buf[j].key && !same(buf[j], mn)) out.push_back(buf[j]);
+        for (int j = 0; j <= buf_pos; ++j)
+          if (mn.key == buf[j].key && !same(buf[j], mn)) out.push_back(buf[j]);
+      }
+    }
+    if (++buf_pos == w) buf_pos = 0;
+  }
+  if (mn.key != MM_INF) out.push_back(mn);
+  // de-duplicate and sort by (pos, key, z) — matches the oracle's
+  // sorted(set(out), key=(pos, key)) ordering
+  std::sort(out.begin(), out.end(), [](const MiniMM& a, const MiniMM& b) {
+    if (a.pos != b.pos) return a.pos < b.pos;
+    if (a.key != b.key) return a.key < b.key;
+    return a.z < b.z;
+  });
+  out.erase(std::unique(out.begin(), out.end(),
+                        [](const MiniMM& a, const MiniMM& b) {
+                          return a.pos == b.pos && a.key == b.key && a.z == b.z;
+                        }),
+            out.end());
+}
+
+// sketch_many(seqs: list[bytes], k, w, hpc, threads)
+//   -> list[(key_u64_le_bytes, pos_i32_le_bytes, strand_u8_bytes)]
+// Sequences are raw ASCII bases (not 2-bit codes).
+PyObject* py_sketch_many(PyObject*, PyObject* args) {
+  PyObject* seq_list;
+  int k, w, hpc, threads;
+  if (!PyArg_ParseTuple(args, "O!iiii", &PyList_Type, &seq_list, &k, &w, &hpc,
+                        &threads))
+    return nullptr;
+  Py_ssize_t nreads = PyList_GET_SIZE(seq_list);
+  std::vector<const unsigned char*> ptrs(nreads);
+  std::vector<int64_t> lens(nreads);
+  for (Py_ssize_t i = 0; i < nreads; ++i) {
+    PyObject* o = PyList_GET_ITEM(seq_list, i);
+    char* p;
+    Py_ssize_t ln;
+    if (PyBytes_AsStringAndSize(o, &p, &ln) != 0) return nullptr;
+    ptrs[i] = (const unsigned char*)p;
+    lens[i] = ln;
+  }
+  std::vector<std::vector<MiniMM>> results(nreads);
+  if (threads < 1) threads = 1;
+  Py_BEGIN_ALLOW_THREADS {
+    int nt = std::min<int>(threads, std::max<int>(1, (int)nreads));
+    std::vector<std::thread> pool;
+    std::atomic<Py_ssize_t> next(0);
+    for (int t = 0; t < nt; ++t)
+      pool.emplace_back([&]() {
+        for (;;) {
+          Py_ssize_t i = next.fetch_add(1);
+          if (i >= nreads) break;
+          results[i].reserve(lens[i] / 2);
+          sketch_one(ptrs[i], lens[i], k, w, hpc != 0, results[i]);
+        }
+      });
+    for (auto& th : pool) th.join();
+  }
+  Py_END_ALLOW_THREADS
+  PyObject* out = PyList_New(nreads);
+  if (!out) return nullptr;
+  for (Py_ssize_t i = 0; i < nreads; ++i) {
+    Py_ssize_t m = (Py_ssize_t)results[i].size();
+    PyObject* kb = PyBytes_FromStringAndSize(nullptr, m * 8);
+    PyObject* pb = PyBytes_FromStringAndSize(nullptr, m * 4);
+    PyObject* sb = PyBytes_FromStringAndSize(nullptr, m);
+    if (!kb || !pb || !sb) {
+      Py_XDECREF(kb);
+      Py_XDECREF(pb);
+      Py_XDECREF(sb);
+      Py_DECREF(out);
+      return nullptr;
+    }
+    uint64_t* kd = (uint64_t*)PyBytes_AS_STRING(kb);
+    int32_t* pd = (int32_t*)PyBytes_AS_STRING(pb);
+    unsigned char* sd = (unsigned char*)PyBytes_AS_STRING(sb);
+    for (Py_ssize_t j = 0; j < m; ++j) {
+      kd[j] = results[i][j].key;
+      pd[j] = (int32_t)results[i][j].pos;
+      sd[j] = (unsigned char)results[i][j].z;
+    }
+    PyObject* tup = PyTuple_Pack(3, kb, pb, sb);
+    Py_DECREF(kb);
+    Py_DECREF(pb);
+    Py_DECREF(sb);
+    if (!tup) {
+      Py_DECREF(out);
+      return nullptr;
+    }
+    PyList_SET_ITEM(out, i, tup);
+  }
+  return out;
+}
+
+// ---------------------------------------------------------------------
 // chaining DP (mm_chain_dp scoring semantics, f32 exact)
 // ---------------------------------------------------------------------
 
@@ -186,17 +381,19 @@ inline float mg_log2f(float x) {
   return log_2;
 }
 
-// chain_dp(key2, rpos, qpos, span, n, max_gap, bw, max_iter,
+// chain_dp(key2, rpos, qpos, span, n, max_gap, bw, max_iter, max_skip,
 //          chn_pen_gap, chn_pen_skip, f_out, p_out)
 // key2 groups (rid,strand); all i32 buffers except f/p which are i64.
+// Models mm_chain_dp exactly, including the max_chain_skip early break
+// (t-mark array + floored skip counter).
 PyObject* py_chain_dp(PyObject*, PyObject* args) {
   Py_buffer key2, rpos, qpos, span, fbuf, pbuf;
   Py_ssize_t n;
-  int max_gap, bw, max_iter;
+  int max_gap, bw, max_iter, max_skip;
   float pen_gap, pen_skip;
-  if (!PyArg_ParseTuple(args, "y*y*y*y*niiiffy*y*", &key2, &rpos, &qpos, &span,
-                        &n, &max_gap, &bw, &max_iter, &pen_gap, &pen_skip,
-                        &fbuf, &pbuf))
+  if (!PyArg_ParseTuple(args, "y*y*y*y*niiiiffy*y*", &key2, &rpos, &qpos, &span,
+                        &n, &max_gap, &bw, &max_iter, &max_skip, &pen_gap,
+                        &pen_skip, &fbuf, &pbuf))
     return nullptr;
   const int32_t* K = (const int32_t*)key2.buf;
   const int32_t* R = (const int32_t*)rpos.buf;
@@ -206,12 +403,14 @@ PyObject* py_chain_dp(PyObject*, PyObject* args) {
   int64_t* P = (int64_t*)pbuf.buf;
   Py_ssize_t st = 0;
   Py_BEGIN_ALLOW_THREADS
+  std::vector<Py_ssize_t> tmark(n, -1);
   for (Py_ssize_t i = 0; i < n; ++i) {
     while (st < i && (K[st] != K[i] || R[i] > R[st] + max_gap)) ++st;
     Py_ssize_t lo = st;
     if (i - lo > max_iter) lo = i - max_iter;
     int64_t best = S[i];
     int64_t bestj = -1;
+    int n_skip = 0;
     for (Py_ssize_t j = i - 1; j >= lo; --j) {
       if (K[j] != K[i]) continue;
       int64_t dq = (int64_t)Q[i] - Q[j];
@@ -231,7 +430,11 @@ PyObject* py_chain_dp(PyObject*, PyObject* args) {
       if (cand > best) {
         best = cand;
         bestj = j;
+        if (n_skip > 0) --n_skip;
+      } else if (tmark[j] == i) {
+        if (++n_skip > max_skip) break;
       }
+      if (P[j] >= 0) tmark[P[j]] = i;
     }
     F[i] = best;
     P[i] = bestj;
@@ -251,9 +454,13 @@ PyMethodDef methods[] = {
      "encode_seq(bytes) -> bytes of 2-bit codes (4=ambiguous)"},
     {"parse_fastx", py_parse_fastx, METH_O,
      "parse_fastx(buffer) -> list[(id, seq)] for FASTA/FASTQ data"},
+    {"sketch_many", py_sketch_many, METH_VARARGS,
+     "sketch_many(seqs, k, w, hpc, threads) -> list[(key_u64le, pos_i32le, "
+     "strand_u8)] — exact minimap2-semantics minimizer sketch over raw "
+     "ASCII sequences"},
     {"chain_dp", py_chain_dp, METH_VARARGS,
-     "chain_dp(key2,rpos,qpos,span,n,max_gap,bw,max_iter,pen_gap,pen_skip,"
-     "f_out,p_out)"},
+     "chain_dp(key2,rpos,qpos,span,n,max_gap,bw,max_iter,max_skip,pen_gap,"
+     "pen_skip,f_out,p_out)"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -12,11 +12,20 @@ the reference via ``mm_map`` (SURVEY.md C15):
   used once; chains kept when ``score >= min_chain_score`` and
   ``cnt >= min_cnt``.
 
-Known divergences from minimap2 (tracked for later tightening): the
-``max_chain_skip`` early-break heuristic is not modelled (it can only
-*lose* chains in minimap2; scores of surviving chains are identical),
-and the query-side repetitive-seed filter (``q_occ_frac``) is not
-applied.
+The ``max_chain_skip`` early-break heuristic is modelled exactly via a
+reformulation that avoids sequential scan state: scanning predecessors
+``j`` descending, minimap2 counts js that (a) are the stored
+predecessor ``p[x]`` of an anchor ``x`` already examined in this scan
+and (b) do not improve the running maximum; the count decrements
+(floored at 0) on improving js, and the scan breaks when it exceeds
+``max_chain_skip``.  Both inputs are scan-state-free: "already
+examined" is simply ``x > j`` (descending order), and the floored
+running count equals ``S_t - min(0, min_{s<=t} S_s)`` of the raw
++1/-1 step sums — so the break position is computable with suffix
+cumulative ops (see ``_skip_cut``).  Known remaining divergence: the
+backtrack peak-drop trimming (``max_drop = bw``) is not modelled; it
+needs a score valley deeper than ``bw`` (2000 for ava-ont) inside one
+chain, far above typical read-overlap chain scores.
 
 This host engine is the correctness oracle for the device pipeline and
 the production path for the PacBio preset until its device port lands.
@@ -82,8 +91,20 @@ def collect_anchors(
     params: OverlapParams = index.params
     hashes = qkey >> np.uint64(8)
     spans = (qkey & np.uint64(0xFF)).astype(np.int32)
+    # mm_seed_mz_flt (q_occ_frac): drop query minimizers occurring more
+    # than mid_occ times within the query itself AND more than
+    # q_occ_frac of the query's minimizer count; filtered minimizers
+    # are skipped entirely (they do not contribute to rep_len either).
+    qflt = np.zeros(len(hashes), dtype=bool)
+    if params.q_occ_frac > 0 and index.mid_occ > 0 and len(hashes) > index.mid_occ:
+        _, inv, cnt = np.unique(hashes, return_inverse=True, return_counts=True)
+        c = cnt[inv]
+        qflt = (c > index.mid_occ) & (
+            c.astype(np.float32) > np.float32(len(hashes)) * np.float32(params.q_occ_frac)
+        )
     start, occ = index.occurrence(hashes)
-    dropped = occ > index.mid_occ
+    occ = np.where(qflt, 0, occ)
+    dropped = (occ > index.mid_occ) & ~qflt
     keep = (~dropped) & (occ > 0)
     # rep_len: merged intervals of repetitive query seeds (rl:i tag)
     rep_len = 0
@@ -166,6 +187,7 @@ def chain_dp(anchors: Anchors, params: OverlapParams) -> tuple[np.ndarray, np.nd
             params.max_gap,
             params.bw,
             params.max_chain_iter,
+            params.max_chain_skip,
             np.float32(params.chn_pen_gap()),
             np.float32(params.chn_pen_skip()),
             f,
@@ -181,6 +203,7 @@ def chain_dp(anchors: Anchors, params: OverlapParams) -> tuple[np.ndarray, np.nd
     pen_skip = np.float32(params.chn_pen_skip())
     max_gap = params.max_gap
     bw = params.bw
+    max_skip = params.max_chain_skip
     st = 0
     for i in range(n):
         while st < i and (st_key[st] != st_key[i] or rpos[i] > rpos[st] + max_gap):
@@ -202,6 +225,15 @@ def chain_dp(anchors: Anchors, params: OverlapParams) -> tuple[np.ndarray, np.nd
             sc = np.where(pen_mask, sc - pen, sc)
             ok = (dq > 0) & (dq <= max_gap) & (dr != 0) & (dd <= bw)
             cand = np.where(ok, sc + f[j], NEG_INF)
+            # marked[j]: j is the predecessor of a valid anchor x > j in
+            # the window (x is always examined before j when scanning
+            # descending, so no scan state is needed)
+            marked = np.zeros(i - lo, dtype=bool)
+            px = p[lo:i][ok]
+            px = px[px >= lo]
+            marked[(px - lo).astype(np.int64)] = True
+            examined = _skip_cut(cand[::-1], marked[::-1], int(span[i]), max_skip)[::-1]
+            cand = np.where(examined, cand, NEG_INF)
             # ties keep the largest j (minimap2 scans j descending, first hit)
             k = len(cand) - 1 - int(np.argmax(cand[::-1]))
             if cand[k] > best:
@@ -210,6 +242,36 @@ def chain_dp(anchors: Anchors, params: OverlapParams) -> tuple[np.ndarray, np.nd
         f[i] = best
         p[i] = bestj
     return f, p
+
+
+def _skip_cut(
+    cand_desc: np.ndarray, marked_desc: np.ndarray, span_i: int, max_skip: int
+) -> np.ndarray:
+    """Examined-mask of the descending predecessor scan under max_chain_skip.
+
+    Inputs are in DESCENDING-j order (scan order).  ``n_skip`` is the
+    floored running sum of +1 (valid, marked, non-improving) / -1
+    (improving) steps: ``n_t = S_t - min(0, min_{s<=t} S_s)``.  The scan
+    breaks at the first step where ``n_t > max_skip``; that step itself
+    was examined (its increment branch ran), every later one was not.
+    """
+    valid = cand_desc != NEG_INF
+    # running max BEFORE each step (exclusive), seeded with span_i
+    prev = np.concatenate(([np.int64(NEG_INF)], np.maximum.accumulate(cand_desc)[:-1]))
+    runmax_excl = np.maximum(prev, span_i)
+    improving = valid & (cand_desc > runmax_excl)
+    inc = valid & marked_desc & ~improving
+    a = inc.astype(np.int64) - improving.astype(np.int64)
+    s = np.cumsum(a)
+    runmin = np.minimum(np.minimum.accumulate(s), 0)
+    n_skip = s - runmin
+    over = n_skip > max_skip
+    if not over.any():
+        return np.ones(len(cand_desc), dtype=bool)
+    cut = int(np.argmax(over))  # first step whose increment broke the scan
+    out = np.zeros(len(cand_desc), dtype=bool)
+    out[: cut + 1] = True
+    return out
 
 
 @dataclass

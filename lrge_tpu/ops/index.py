@@ -215,8 +215,21 @@ def build_index(
     per_read = None
     if device == "device":
         per_read = _sketch_reads_device(seqs, params, lengths)
-    elif device == "auto" and len(seqs) >= 2000 and threads > 1:
-        per_read = _sketch_reads_parallel(seqs, params, workers=threads)
+    elif device == "auto":
+        from .sketch import sketch_seqs_native
+
+        res = sketch_seqs_native(seqs, params.k, params.w, params.hpc, threads)
+        if res is not None:
+            per_read = [
+                (
+                    (mz.key >> np.uint64(8)).astype(np.uint64),
+                    mz.pos.astype(np.int32),
+                    mz.strand.astype(np.int8),
+                )
+                for mz in res
+            ]
+        elif len(seqs) >= 2000 and threads > 1:
+            per_read = _sketch_reads_parallel(seqs, params, workers=threads)
     if per_read is not None:
         for rid, entry in enumerate(per_read):
             key, pos, strand = entry

@@ -77,6 +77,8 @@ def map_batch_core(
     window: int,
     no_dual: bool,
     no_diag: bool,
+    max_chain_skip: int = 25,
+    q_occ_frac: float = 0.01,
     bucket_bits: int = 0,
     bucket_kmax: int = 8,
     packed_pos: bool = False,
@@ -119,6 +121,42 @@ def map_batch_core(
     # invalid minimizer slots (0xFFFFFFFF padding) must never match,
     # even when the index itself is padded with sentinel keys
     occ = jnp.where(mhash == jnp.uint32(0xFFFFFFFF), 0, occ)
+
+    # ---- q_occ filter (mm_seed_mz_flt) ----
+    # Drop query minimizers occurring > mid_occ times within the query
+    # itself AND > q_occ_frac of the query's minimizer count; inactive
+    # unless the query has > mid_occ minimizers.  Sort-based run-length
+    # count (no scatters): sort (hash, slot), distribute run lengths
+    # with a segmented scan, then restore slot order with a second sort.
+    if q_occ_frac > 0:
+        slot_ids = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+        sh, sslot = jax.lax.sort((mhash, slot_ids), dimension=1, num_keys=1, is_stable=True)
+        newrun = jnp.concatenate(
+            [jnp.ones((B, 1), dtype=bool), sh[:, 1:] != sh[:, :-1]], axis=1
+        )
+        pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+
+        def seg_keep(a, b):
+            av, af = a
+            bv, bf = b
+            return (jnp.where(bf, bv, av), af | bf)
+
+        run_start, _ = jax.lax.associative_scan(seg_keep, (jnp.where(newrun, pos, 0), newrun), axis=1)
+        runend_flag = jnp.concatenate(
+            [sh[:, 1:] != sh[:, :-1], jnp.ones((B, 1), dtype=bool)], axis=1
+        )
+        run_end, _ = jax.lax.associative_scan(
+            seg_keep, (jnp.where(runend_flag, pos, 0), runend_flag), axis=1, reverse=True
+        )
+        run_cnt = run_end - run_start + 1
+        _, cnt_by_slot = jax.lax.sort((sslot, run_cnt), dimension=1, num_keys=1, is_stable=True)
+        n_mini = jnp.sum(mhash != jnp.uint32(0xFFFFFFFF), axis=1).astype(jnp.int32)
+        q_drop = (
+            (n_mini[:, None] > mid_occ)
+            & (cnt_by_slot > mid_occ)
+            & (cnt_by_slot.astype(jnp.float32) > n_mini[:, None].astype(jnp.float32) * jnp.float32(q_occ_frac))
+        )
+        occ = jnp.where(q_drop, 0, occ)
 
     # ---- 2. anchor expansion ----
     cum = jnp.cumsum(occ, axis=1)
@@ -174,7 +212,19 @@ def map_batch_core(
 
     # ---- 3. chaining DP ----
     # chunked scan: C anchors per step (unrolled in-step), one ring
-    # update per chunk — 8x fewer sequential steps than per-anchor
+    # update per chunk — 8x fewer sequential steps than per-anchor.
+    # The max_chain_skip early-break is modelled exactly without scan
+    # state: for the descending predecessor scan of anchor i,
+    #   * "already examined" anchors are simply those at earlier
+    #     descending positions,
+    #   * the floored skip counter is the Lindley recursion
+    #     n_t = max(0, n_{t-1} + a_t) = S_t - min(0, min_{s<=t} S_s)
+    #     over steps a_t = +1 (valid, marked, non-improving) /
+    #     -1 (improving), so the break position falls out of cumulative
+    #     sums/minima along the window axis,
+    #   * "marked" (j is the stored predecessor of an examined valid
+    #     anchor) is a one-hot compare of predecessor links against
+    #     window positions.
     span = jnp.int32(k)
     pen_gap = chn_pen_gap.astype(jnp.float32)
     C = 8
@@ -182,7 +232,7 @@ def map_batch_core(
     NC = A // C
 
     def pair_sc(ck, cr, cq, pk, pr, pq, pf, pok):
-        """Score of transitioning from predecessors p* to current c*.
+        """(cand, ok) of transitioning from predecessors p* to current c*.
 
         Shapes broadcast: current [B, 1] or [B], predecessors [B, W']."""
         dq = cq - pq
@@ -203,33 +253,107 @@ def map_batch_core(
             & (dr <= max_gap)
             & (dd <= bw)
         )
-        return jnp.where(ok, sc + pf, NEG)
+        return jnp.where(ok, sc + pf, NEG), ok
 
     def step(carry, xs):
-        ring_key, ring_rpos, ring_qpos, ring_f, ring_ok = carry
-        ck, cr, cq, cv = xs  # each [C, B]
-        fs = []
+        ring_key, ring_rpos, ring_qpos, ring_f, ring_ok, ring_p = carry
+        ck, cr, cq, cv, cslot = xs  # each [C, B]
+        fs, ps, bks = [], [], []
         for t in range(C):
-            cand = pair_sc(
-                ck[t][:, None], cr[t][:, None], cq[t][:, None],
-                ring_key, ring_rpos, ring_qpos, ring_f, ring_ok,
-            )
-            best = jnp.max(cand, axis=1)
-            for u in range(t):
-                cu = pair_sc(
-                    ck[t], cr[t], cq[t], ck[u], cr[u], cq[u], fs[u], cv[u]
+            islot = cslot[t]  # [B] absolute slot of the current anchor
+            # descending-j predecessor lanes: intra-chunk (nearest first),
+            # then the ring (already newest-first)
+            if t > 0:
+                pk = jnp.concatenate(
+                    [jnp.stack([ck[u] for u in range(t - 1, -1, -1)], axis=1), ring_key],
+                    axis=1,
                 )
-                best = jnp.maximum(best, cu)
+                pr = jnp.concatenate(
+                    [jnp.stack([cr[u] for u in range(t - 1, -1, -1)], axis=1), ring_rpos],
+                    axis=1,
+                )
+                pq = jnp.concatenate(
+                    [jnp.stack([cq[u] for u in range(t - 1, -1, -1)], axis=1), ring_qpos],
+                    axis=1,
+                )
+                pf = jnp.concatenate(
+                    [jnp.stack([fs[u] for u in range(t - 1, -1, -1)], axis=1), ring_f],
+                    axis=1,
+                )
+                pok = jnp.concatenate(
+                    [jnp.stack([cv[u] for u in range(t - 1, -1, -1)], axis=1), ring_ok],
+                    axis=1,
+                )
+                pp = jnp.concatenate(
+                    [jnp.stack([ps[u] for u in range(t - 1, -1, -1)], axis=1), ring_p],
+                    axis=1,
+                )
+            else:
+                pk, pr, pq, pf, pok, pp = (
+                    ring_key, ring_rpos, ring_qpos, ring_f, ring_ok, ring_p,
+                )
+            D = pk.shape[1]
+            cand, ok = pair_sc(
+                ck[t][:, None], cr[t][:, None], cq[t][:, None], pk, pr, pq, pf, pok
+            )
+            # marked[d]: some valid x at position d' holds p[x] == slot(d).
+            # p_rel = islot-1-p maps link targets to descending positions;
+            # p < slot(x) always, so p_rel[d'] > d' and no triangle mask
+            # is needed.  p == -1 maps to islot (>= D), never matching.
+            p_rel = islot[:, None] - 1 - pp  # [B, D]
+            dpos = jnp.arange(D, dtype=jnp.int32)
+            marked = jnp.any(
+                ok[:, :, None] & (p_rel[:, :, None] == dpos[None, None, :]), axis=1
+            )  # [B, D]
+            # improving[d]: cand beats the running max of examined
+            # predecessors (seeded with span); exclusive cummax suffices
+            # because positions after the break never matter.  Native
+            # cumulative ops (lax.cummax/cummin/cumsum) keep the HLO
+            # graph small — associative_scan unrolls into huge graphs
+            # at these widths and wrecks compile time.
+            cmax = jax.lax.cummax(cand, axis=1)
+            runmax_excl = jnp.concatenate(
+                [jnp.full((B, 1), NEG, jnp.int32), cmax[:, :-1]], axis=1
+            )
+            runmax_excl = jnp.maximum(runmax_excl, span)
+            improving = ok & (cand > runmax_excl)
+            # Lindley skip counter and break position
+            a_step = (ok & marked & ~improving).astype(jnp.int32) - improving.astype(
+                jnp.int32
+            )
+            s_cum = jax.lax.cumsum(a_step, axis=1)
+            runmin = jnp.minimum(jax.lax.cummin(s_cum, axis=1), 0)
+            n_skip = s_cum - runmin
+            over = n_skip > max_chain_skip
+            overed = jax.lax.cummax(over.astype(jnp.int32), axis=1).astype(bool)
+            # the breaking step itself is examined (its increment ran);
+            # everything strictly after the first break is not
+            broken_before = jnp.concatenate(
+                [jnp.zeros((B, 1), bool), overed[:, :-1]], axis=1
+            )
+            cand = jnp.where(broken_before, NEG, cand)
+            best = jnp.max(cand, axis=1)
+            # ties keep the first descending position (largest j)
+            bestd = jnp.argmax(cand, axis=1).astype(jnp.int32)
+            has_pred = best > span
+            p_t = jnp.where(has_pred, islot - 1 - bestd, -1)
             fs.append(jnp.where(cv[t], jnp.maximum(span, best), NEG))
+            ps.append(jnp.where(cv[t], p_t, -1))
+            # the scan broke inside the visible window: the result is
+            # exact even if the (rid,strand) run extends beyond it
+            bks.append(overed[:, -1] & cv[t])
         f_chunk = jnp.stack(fs)  # [C, B]
+        p_chunk = jnp.stack(ps)
+        b_chunk = jnp.stack(bks)
         new_carry = (
             jnp.concatenate([ck[::-1].T, ring_key[:, : W - C]], axis=1),
             jnp.concatenate([cr[::-1].T, ring_rpos[:, : W - C]], axis=1),
             jnp.concatenate([cq[::-1].T, ring_qpos[:, : W - C]], axis=1),
             jnp.concatenate([f_chunk[::-1].T, ring_f[:, : W - C]], axis=1),
             jnp.concatenate([cv[::-1].T, ring_ok[:, : W - C]], axis=1),
+            jnp.concatenate([p_chunk[::-1].T, ring_p[:, : W - C]], axis=1),
         )
-        return new_carry, f_chunk
+        return new_carry, (f_chunk, b_chunk)
 
     init = (
         jnp.full((B, W), IMAX, dtype=jnp.int32),
@@ -237,14 +361,23 @@ def map_batch_core(
         jnp.zeros((B, W), dtype=jnp.int32),
         jnp.full((B, W), NEG, dtype=jnp.int32),
         jnp.zeros((B, W), dtype=bool),
+        jnp.full((B, W), -1, dtype=jnp.int32),
     )
 
     def chunked(x, dtype=None):
         return x.T.reshape(NC, C, B)
 
-    xs = (chunked(key2_s), chunked(rpos_s), chunked(qpos_s), chunked(valid_s))
-    _, f_steps = jax.lax.scan(step, init, xs)  # [NC, C, B]
+    slots_bc = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (B, A))
+    xs = (
+        chunked(key2_s),
+        chunked(rpos_s),
+        chunked(qpos_s),
+        chunked(valid_s),
+        chunked(slots_bc),
+    )
+    _, (f_steps, b_steps) = jax.lax.scan(step, init, xs)  # [NC, C, B]
     f = f_steps.reshape(A, B).T  # [B, A]
+    broke = b_steps.reshape(A, B).T  # [B, A]
 
     # ---- 4. segmented max over rid runs ----
     boundary = jnp.concatenate(
@@ -274,16 +407,22 @@ def map_batch_core(
     )
     pair_rids = jnp.where(pk_s[:, :PMAX] != IMAX, prid[:, :PMAX], -1)
 
-    # longest (rid,strand) run: if it exceeds W the DP window may have
-    # missed predecessors and the row needs the exact host path
+    # window-miss detector: an anchor's DP is exact when its
+    # (rid,strand) run fits in the ring (run depth <= W) OR the
+    # max_chain_skip break fired inside the visible window (the scan
+    # never looked further).  Rows with any inexact anchor need the
+    # exact host path.  Reported as max_run-style int: 0 = exact,
+    # window+1 = some anchor missed (keeps the caller contract
+    # ``value > window -> fallback``).
     boundary2 = jnp.concatenate(
         [jnp.ones((B, 1), dtype=bool), key2_s[:, 1:] != key2_s[:, :-1]], axis=1
     )
     idxs = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32), (B, A))
     start_candidates = jnp.where(boundary2, idxs, -1)
     run_start, _ = jax.lax.associative_scan(seg_op, (start_candidates, boundary2), axis=1)
-    run_len = jnp.where(valid_s, idxs - run_start + 1, 0)
-    max_run = jnp.max(run_len, axis=1).astype(jnp.int32)
+    run_depth = jnp.where(valid_s, idxs - run_start, 0)  # predecessors in run
+    missed = valid_s & (run_depth > W) & ~broke
+    max_run = jnp.where(jnp.any(missed, axis=1), jnp.int32(W + 1), jnp.int32(0))
     return counts, n_anchors, max_run, pair_rids
 
 
@@ -429,6 +568,8 @@ map_batch_device = functools.partial(
         "window",
         "no_dual",
         "no_diag",
+        "max_chain_skip",
+        "q_occ_frac",
         "bucket_bits",
         "bucket_kmax",
         "packed_pos",
@@ -461,6 +602,8 @@ def fused_count_core(
     window,
     no_dual,
     no_diag,
+    max_chain_skip=25,
+    q_occ_frac=0.01,
     bucket_bits=0,
     bucket_kmax=8,
     packed_pos=False,
@@ -503,6 +646,8 @@ def fused_count_core(
         window=window,
         no_dual=no_dual,
         no_diag=no_diag,
+        max_chain_skip=max_chain_skip,
+        q_occ_frac=q_occ_frac,
         bucket_bits=bucket_bits,
         bucket_kmax=bucket_kmax,
         packed_pos=packed_pos,
@@ -522,6 +667,8 @@ fused_count = functools.partial(
         "window",
         "no_dual",
         "no_diag",
+        "max_chain_skip",
+        "q_occ_frac",
         "bucket_bits",
         "bucket_kmax",
         "packed_pos",
@@ -554,6 +701,8 @@ def fused_count_many_core(
     window,
     no_dual,
     no_diag,
+    max_chain_skip=25,
+    q_occ_frac=0.01,
     bucket_bits=0,
     bucket_kmax=8,
     packed_pos=False,
@@ -592,6 +741,8 @@ def fused_count_many_core(
             window=window,
             no_dual=no_dual,
             no_diag=no_diag,
+            max_chain_skip=max_chain_skip,
+            q_occ_frac=q_occ_frac,
             bucket_bits=bucket_bits,
             bucket_kmax=bucket_kmax,
             packed_pos=packed_pos,
@@ -612,6 +763,8 @@ fused_count_many = functools.partial(
         "window",
         "no_dual",
         "no_diag",
+        "max_chain_skip",
+        "q_occ_frac",
         "bucket_bits",
         "bucket_kmax",
         "packed_pos",
@@ -661,6 +814,8 @@ def map_many_core(
     window,
     no_dual,
     no_diag,
+    max_chain_skip,
+    q_occ_frac,
     bucket_bits,
     bucket_kmax,
     packed_pos,
@@ -699,6 +854,8 @@ def map_many_core(
             window=window,
             no_dual=no_dual,
             no_diag=no_diag,
+            max_chain_skip=max_chain_skip,
+            q_occ_frac=q_occ_frac,
             bucket_bits=bucket_bits,
             bucket_kmax=bucket_kmax,
             packed_pos=packed_pos,
@@ -718,6 +875,8 @@ map_many = functools.partial(
         "window",
         "no_dual",
         "no_diag",
+        "max_chain_skip",
+        "q_occ_frac",
         "bucket_bits",
         "bucket_kmax",
         "packed_pos",

@@ -299,6 +299,44 @@ def sketch_read(codes: np.ndarray, k: int, w: int, hpc: bool = False) -> Minimiz
     return minimizers_numpy(codes, k, w, hpc)
 
 
+def sketch_seqs_native(seqs, k: int, w: int, hpc: bool, threads: int = 0):
+    """Sketch raw-ASCII reads with the multithreaded native kernel.
+
+    Returns ``list[Minimizers]`` or ``None`` when the native extension
+    is unavailable.  The C kernel is a port of :func:`sketch_scalar`
+    (the oracle), so it is exact for every input, quirks included.
+    """
+    from ..native import native
+
+    if native is None:
+        return None
+    if threads <= 0:
+        import os
+
+        threads = os.cpu_count() or 2
+    out = []
+    for kb, pb, sb in native.sketch_many(list(seqs), k, w, int(hpc), threads):
+        out.append(
+            Minimizers(
+                np.frombuffer(kb, dtype="<u8"),
+                np.frombuffer(pb, dtype="<i4").astype(np.int64),
+                np.frombuffer(sb, dtype=np.uint8).astype(np.int64),
+            )
+        )
+    return out
+
+
+def sketch_seq(seq: bytes, k: int, w: int, hpc: bool = False) -> Minimizers:
+    """Sketch one raw-ASCII read: native kernel when available, else the
+    encode + dispatch path."""
+    res = sketch_seqs_native([seq], k, w, hpc, threads=1)
+    if res is not None:
+        return res[0]
+    from .encode import encode_seq
+
+    return sketch_read(encode_seq(seq), k, w, hpc)
+
+
 def minimizers_numpy(codes: np.ndarray, k: int, w: int, hpc: bool = False) -> Minimizers:
     """Vectorised sketch of one read (host, exact uint64 keys).
 

@@ -60,8 +60,16 @@ class ShardedDeviceIndex:
 
     @classmethod
     def from_host(cls, index: TargetIndex, n_shards: int) -> "ShardedDeviceIndex":
-        keys32 = (index.keys.astype(np.uint32) ^ np.uint32(0x80000000)).view(np.int32)
-        shard_of = index.rid % n_shards
+        # Apply the GLOBAL occurrence pruning before sharding: a
+        # minimizer whose global occurrence exceeds mid_occ must be
+        # dropped even when its per-shard occurrence is below the cutoff
+        # (the in-core test sees only per-shard counts).  Same pruning
+        # as DeviceIndex.from_host.
+        from ..ops.overlap_jax import _pruned_postings
+
+        pkeys, prid, ppos, pstrand = _pruned_postings(index)
+        keys32 = (pkeys.astype(np.uint32) ^ np.uint32(0x80000000)).view(np.int32)
+        shard_of = prid % n_shards
         sizes = [int((shard_of == s).sum()) for s in range(n_shards)]
         npad = max(sizes + [1])
         IMAX = np.iinfo(np.int32).max
@@ -75,9 +83,9 @@ class ShardedDeviceIndex:
             order = np.argsort(sk, kind="stable")  # keys already grouped; keep (rid,pos) order
             n = len(sel)
             keys[s, :n] = sk[order]
-            rid[s, :n] = index.rid[sel][order]
-            pos[s, :n] = index.pos[sel][order]
-            strand[s, :n] = index.strand[sel][order].astype(np.int32)
+            rid[s, :n] = prid[sel][order]
+            pos[s, :n] = ppos[sel][order]
+            strand[s, :n] = pstrand[sel][order].astype(np.int32)
         return cls(
             keys=keys,
             rid=rid,
@@ -90,7 +98,7 @@ class ShardedDeviceIndex:
 
 
 def sharded_count_fn(mesh: Mesh, *, k, max_gap, bw, min_score, num_anchors, window,
-                     no_dual, no_diag):
+                     no_dual, no_diag, max_chain_skip=25, q_occ_frac=0.01):
     """Build a jitted shard_map counting function over ``mesh``.
 
     Returns ``fn(idx_keys [S,Npad], idx_rid, idx_pos, idx_strand,
@@ -125,6 +133,8 @@ def sharded_count_fn(mesh: Mesh, *, k, max_gap, bw, min_score, num_anchors, wind
             window=window,
             no_dual=no_dual,
             no_diag=no_diag,
+            max_chain_skip=max_chain_skip,
+            q_occ_frac=q_occ_frac,
         )
         # disjoint target shards: merge with collectives over ICI
         counts = jax.lax.psum(counts, axis_name="index")

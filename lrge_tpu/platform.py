@@ -60,12 +60,17 @@ class OverlapParams:
 
     # ---- mapping options (mm_mapopt_t equivalents) ----
     bw: int = 500  # chaining bandwidth (-r)
-    max_gap: int = 5000  # max gap between anchors in a chain (-g)
+    max_gap: int = 10000  # max gap between anchors in a chain (-g); both
+    # ava preset blocks override the 5000 default with max_gap = 10000
     min_chain_score: int = 100  # min chain score to output (-m); this is
     # also the estimator's overlap threshold (twoset.rs:213, ava.rs:174)
     min_cnt: int = 3  # min number of minimizers on a chain (-n)
     max_chain_iter: int = 5000  # max predecessors scanned per anchor
-    max_chain_skip: int = 25  # chaining skip heuristic (not modelled yet)
+    max_chain_skip: int = 25  # mm_chain_dp early-break: scanning
+    # predecessors descending, count js that are (a) the stored
+    # predecessor of an already-examined anchor in this scan and (b) do
+    # not improve the running max; the count decrements (floor 0) on
+    # improving js and the scan stops when it exceeds max_chain_skip
     chain_gap_scale: float = 0.8
     chain_skip_scale: float = 0.0
     mid_occ_frac: float = 2e-4  # -f: top fraction of repetitive minimizers
@@ -73,6 +78,10 @@ class OverlapParams:
     max_mid_occ: int = 1_000_000
     occ_dist: int = 0  # -e0 in both ava presets: drop (not sample)
     # minimizers above the occurrence cutoff
+    q_occ_frac: float = 0.01  # mm_seed_mz_flt: drop query minimizers
+    # occurring > mid_occ times within the query itself AND more than
+    # q_occ_frac of the query's minimizer count (no-op unless the query
+    # has > mid_occ minimizers)
 
     # ---- pair-level masks ----
     no_dual: bool = True  # MM_F_NO_DUAL (0x002): skip pairs where the
@@ -94,10 +103,12 @@ class OverlapParams:
         return 0.01 * self.chain_skip_scale * float(self.k)
 
 
-# `ava-ont`: -k15 -Xw5 -e0 -m100 -r2k (preset.rs:26-27)
+# `ava-ont` (preset.rs:26-27): minimap2 options.c sets k15 w5,
+# ALL_CHAINS|NO_DIAG|NO_DUAL|NO_LJOIN, m100, pri_ratio 0, g10000,
+# max_chain_skip 25, occ_dist 0, bw = bw_long = 2000 (-r2k)
 AVA_ONT = OverlapParams(k=15, w=5, hpc=False, bw=2000, min_chain_score=100)
 
-# `ava-pb`: -Hk19 -Xw5 -e0 -m100 (preset.rs:24-25)
+# `ava-pb` (preset.rs:24-25): as above plus HPC k19, default bw 500
 AVA_PB = OverlapParams(k=19, w=5, hpc=True, bw=500, min_chain_score=100)
 
 

@@ -29,7 +29,13 @@ def make_reads(rng, genome, n, length, err):
 @pytest.fixture(scope="module")
 def corpus():
     rng = np.random.default_rng(31337)
-    genome = bytes(rng.choice(list(b"ACGT"), size=150_000).tolist())
+    genome = bytearray(rng.choice(list(b"ACGT"), size=150_000).tolist())
+    # periodic repeat block (5 copies of a 400bp unit): reads covering it
+    # share minimizers at several diagonals, producing the dense plateau
+    # runs that fire minimap2's max_chain_skip early break
+    unit = bytes(rng.choice(list(b"ACGT"), size=400).tolist())
+    genome[60_000 : 60_000 + 5 * 400] = unit * 5
+    genome = bytes(genome)
     # ~8% errors: realistic ONT anchor density
     targets = make_reads(rng, genome, 120, 2000, err=0.08)
     tnames = [f"t{i}".encode() for i in range(len(targets))]
@@ -44,7 +50,7 @@ class TestDeviceVsHost:
         params = preset_for(Platform.NANOPORE, dual=True)
         index = build_index(targets, tnames, params)
         host = OverlapEngine(index)
-        dev = DeviceOverlapEngine(index, batch_size=16, num_anchors=4096, window=1024)
+        dev = DeviceOverlapEngine(index, batch_size=16, num_anchors=4096, window=128)
         res = dev.count_batch(qnames, queries)
         for i, (nm, sq) in enumerate(zip(qnames, queries)):
             hc, hh = host.count_overlaps(nm, sq)
@@ -56,7 +62,7 @@ class TestDeviceVsHost:
         params = preset_for(Platform.NANOPORE, dual=False)  # no_dual set
         index = build_index(targets[:60], tnames[:60], params)
         host = OverlapEngine(index)
-        dev = DeviceOverlapEngine(index, batch_size=16, num_anchors=4096, window=1024)
+        dev = DeviceOverlapEngine(index, batch_size=16, num_anchors=4096, window=128)
         res = dev.count_batch(tnames[:60], targets[:60])
         for i in range(60):
             hc, hh = host.count_overlaps(tnames[i], targets[i])

@@ -28,7 +28,7 @@ def corpus():
     return targets, tnames, queries, qnames
 
 
-def _sharded_counts(corpus, n_data, n_index, window=1024):
+def _sharded_counts(corpus, n_data, n_index, window=128):
     import jax.numpy as jnp
 
     from lrge_tpu.ops.encode import make_batches
@@ -108,3 +108,37 @@ class TestShardedCounts:
         counts, index = _sharded_counts(corpus, n_data=1, n_index=8)
         expected = _host_counts(corpus, index)
         np.testing.assert_array_equal(counts, expected)
+
+
+def test_global_pruning_applied_before_sharding():
+    """A minimizer with global occurrence above mid_occ must be absent
+    from every shard, even when its per-shard occurrence is below the
+    cutoff (regression for the round-1 sharded parity bug)."""
+    from lrge_tpu.ops.index import TargetIndex
+    from lrge_tpu.parallel.sharded import ShardedDeviceIndex
+    from lrge_tpu.platform import AVA_ONT
+
+    # hash 500 occurs 12 times globally (> mid_occ=10) spread over 12
+    # targets -> 3 per shard at n_shards=4 (below the cutoff per shard)
+    rep = np.uint64(500)
+    uniq = np.arange(1000, 1040, dtype=np.uint64)
+    keys = np.concatenate([np.full(12, rep), uniq])
+    rid = np.concatenate([np.arange(12, dtype=np.int32), np.arange(40, dtype=np.int32) % 16])
+    order = np.lexsort((rid, keys))
+    index = TargetIndex(
+        keys=keys[order],
+        rid=rid[order],
+        pos=np.zeros(52, np.int32),
+        strand=np.zeros(52, np.int8),
+        names=[f"t{i}".encode() for i in range(16)],
+        lengths=np.full(16, 1000, np.int32),
+        mid_occ=10,
+        params=AVA_ONT,
+        name_rank=np.arange(16, dtype=np.int32),
+    )
+    sharded = ShardedDeviceIndex.from_host(index, 4)
+    rep32 = int((np.uint32(500) ^ np.uint32(0x80000000)).view(np.int32))
+    assert not (sharded.keys == rep32).any(), "over-occurring key leaked into shards"
+    # the unique keys survive
+    u32 = (uniq.astype(np.uint32) ^ np.uint32(0x80000000)).view(np.int32)
+    assert np.isin(u32, sharded.keys.ravel()).all()
