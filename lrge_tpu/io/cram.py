@@ -281,7 +281,184 @@ def _rans_decode1(br: ByteReader, out_size: int) -> bytes:
     return bytes(out)
 
 
+def _rans_norm_freqs(counts: List[int]) -> List[int]:
+    """Normalise symbol counts to sum exactly 2^12 (every nonzero count
+    keeps a nonzero frequency)."""
+    total = sum(counts)
+    if total == 0:
+        return counts
+    freq = [0] * 256
+    assigned = 0
+    maxi = 0
+    for s in range(256):
+        if counts[s]:
+            f = max(1, (counts[s] * _TOTFREQ) // total)
+            freq[s] = f
+            assigned += f
+            if freq[s] > freq[maxi]:
+                maxi = s
+    freq[maxi] += _TOTFREQ - assigned
+    if freq[maxi] <= 0:
+        raise ValueError("rANS normalisation failed")
+    return freq
+
+
+def _rans_write_freqs0(freq: List[int]) -> bytes:
+    """Serialise an order-0 table in the ReadFreqs format (RLE symbols,
+    1/2-byte frequencies with high-bit escape)."""
+    out = bytearray()
+    syms = [s for s in range(256) if freq[s]]
+    i = 0
+    while i < len(syms):
+        s = syms[i]
+        out.append(s)
+        # find run of consecutive symbols
+        j = i
+        while j + 1 < len(syms) and syms[j + 1] == syms[j] + 1:
+            j += 1
+        # emit freq for s, then (if run) the RLE marker: next byte ==
+        # s+1 triggers run mode with a count byte
+        def emit_freq(f):
+            if f < 128:
+                out.append(f)
+            else:
+                out.append(128 | (f >> 8))
+                out.append(f & 0xFF)
+
+        emit_freq(freq[s])
+        if j > i:
+            out.append(s + 1)
+            out.append(j - i - 1)  # symbols after s+1 in the run
+            for t in range(i + 1, j + 1):
+                emit_freq(freq[syms[t]])
+        i = j + 1
+    out.append(0)
+    return bytes(out)
+
+
+def _rans_encode0_payload(data: bytes) -> bytes:
+    counts = [0] * 256
+    for b in data:
+        counts[b] += 1
+    freq = _rans_norm_freqs(counts)
+    cum = [0] * 257
+    for s in range(256):
+        cum[s + 1] = cum[s] + freq[s]
+    table = _rans_write_freqs0(freq)
+    states = [_RANS_L] * 4
+    tail = bytearray()
+    for i in range(len(data) - 1, -1, -1):
+        j = i & 3
+        s = data[i]
+        f = freq[s]
+        x = states[j]
+        x_max = ((_RANS_L >> _TF_SHIFT) << 8) * f
+        while x >= x_max:
+            tail.append(x & 0xFF)
+            x >>= 8
+        states[j] = ((x // f) << _TF_SHIFT) + (x % f) + cum[s]
+    head = b"".join(struct.pack("<I", states[j]) for j in range(4))
+    return table + head + bytes(tail[::-1])
+
+
+def rans_encode(data: bytes, order: int = 0) -> bytes:
+    """rANS4x8 encoder (CRAM codec 4).  Orders 0 and 1."""
+    if not data:
+        raise ValueError("cannot rANS-encode an empty block")
+    if order == 0:
+        payload = _rans_encode0_payload(data)
+    elif order == 1:
+        payload = _rans_encode1_payload(data)
+    else:
+        raise ValueError("order must be 0 or 1")
+    return (
+        bytes([order])
+        + struct.pack("<I", len(payload) + 9)
+        + struct.pack("<I", len(data))
+        + payload
+    )
+
+
+def _rans_encode1_payload(data: bytes) -> bytes:
+    n = len(data)
+    isz4 = n >> 2
+    # order-1 context counts; each quarter's first byte has context 0
+    counts = [[0] * 256 for _ in range(256)]
+    ctx_start = [0, isz4, 2 * isz4, 3 * isz4]
+    for j in range(4):
+        lo = j * isz4
+        hi = (j + 1) * isz4 if j < 3 else n
+        ctx = 0
+        for i in range(lo, hi):
+            counts[ctx][data[i]] += 1
+            ctx = data[i]
+    freqs: Dict[int, List[int]] = {}
+    cums: Dict[int, List[int]] = {}
+    for c in range(256):
+        if sum(counts[c]):
+            f = _rans_norm_freqs(counts[c])
+            freqs[c] = f
+            cum = [0] * 257
+            for s in range(256):
+                cum[s + 1] = cum[s] + f[s]
+            cums[c] = cum
+    # serialise tables: outer RLE over context symbols
+    table = bytearray()
+    ctxs = sorted(freqs)
+    i = 0
+    while i < len(ctxs):
+        c = ctxs[i]
+        table.append(c)
+        j = i
+        while j + 1 < len(ctxs) and ctxs[j + 1] == ctxs[j] + 1:
+            j += 1
+        table += _rans_write_freqs0(freqs[c])
+        if j > i:
+            table.append(c + 1)
+            table.append(j - i - 1)
+            for t in range(i + 1, j + 1):
+                table += _rans_write_freqs0(freqs[ctxs[t]])
+        i = j + 1
+    table.append(0)
+    # encode: reverse order; state j owns quarter j, state 3 also owns
+    # the remainder.  Encoding must mirror decode order exactly, so we
+    # emit per-state byte streams then merge by simulating decode.
+    states = [_RANS_L] * 4
+    tail = bytearray()
+
+    # Build the full (state_index, pos) emission sequence in decode
+    # order, then encode in reverse.
+    seq: List[Tuple[int, int, int]] = []  # (state j, ctx, sym)
+    for j in range(4):
+        lo = j * isz4
+        hi = (j + 1) * isz4 if j < 3 else None
+    order_ops: List[Tuple[int, int, int]] = []
+    ctxs4 = [0, 0, 0, 0]
+    pos4 = [0, isz4, 2 * isz4, 3 * isz4]
+    for off in range(isz4):
+        for j in range(4):
+            i = j * isz4 + off
+            order_ops.append((j, ctxs4[j], data[i]))
+            ctxs4[j] = data[i]
+    for i in range(4 * isz4, n):
+        order_ops.append((3, ctxs4[3], data[i]))
+        ctxs4[3] = data[i]
+    for j, ctx, s in reversed(order_ops):
+        f = freqs[ctx][s]
+        cum = cums[ctx]
+        x = states[j]
+        x_max = ((_RANS_L >> _TF_SHIFT) << 8) * f
+        while x >= x_max:
+            tail.append(x & 0xFF)
+            x >>= 8
+        states[j] = ((x // f) << _TF_SHIFT) + (x % f) + cum[s]
+    head = b"".join(struct.pack("<I", states[j]) for j in range(4))
+    return bytes(table) + head + bytes(tail[::-1])
+
+
 def rans_decode(data: bytes, raw_size: int) -> bytes:
+    if raw_size == 0:
+        return b""
     br = ByteReader(data)
     order = br.u8()
     br.read(4)  # compressed size
@@ -337,15 +514,26 @@ def read_block(br: ByteReader) -> Block:
     return Block(method, ctype, cid, data)
 
 
+# writer-side pseudo-methods selecting the rANS order (both emit
+# method byte 4 on the wire)
+RANS0_W, RANS1_W = 40, 41
+
+
 def write_block(method: int, ctype: int, cid: int, data: bytes) -> bytes:
+    wire = method
     if method == RAW:
         payload = data
     elif method == GZIP:
         co = zlib.compressobj(6, zlib.DEFLATED, 31)
         payload = co.compress(data) + co.flush()
+    elif method in (RANS0_W, RANS1_W) and len(data) > 0:
+        payload = rans_encode(data, 0 if method == RANS0_W else 1)
+        wire = RANS4x8
+    elif method in (RANS0_W, RANS1_W):
+        payload, wire = data, RAW
     else:
-        raise ValueError("writer supports raw/gzip only")
-    out = bytes([method, ctype]) + itf8_encode(cid) + itf8_encode(len(payload)) + itf8_encode(len(data))
+        raise ValueError("writer supports raw/gzip/rans only")
+    out = bytes([wire, ctype]) + itf8_encode(cid) + itf8_encode(len(payload)) + itf8_encode(len(data))
     out += payload
     out += struct.pack("<I", zlib.crc32(out) & 0xFFFFFFFF)
     return out
@@ -764,12 +952,23 @@ def _enc_byte_array_stop(stop: int, block_id: int) -> bytes:
     return itf8_encode(Encoding.BYTE_ARRAY_STOP) + itf8_encode(len(params)) + params
 
 
-def write_unaligned_cram(path, records: List[Tuple[bytes, bytes]], header_text: bytes = b"@HD\tVN:1.6\n"):
-    """Write records as a minimal CRAM 3.0 file (unaligned, single slice)."""
+def write_unaligned_cram(
+    path,
+    records: List[Tuple[bytes, bytes]],
+    header_text: bytes = b"@HD\tVN:1.6\n",
+    compress: bool = False,
+    bf_flags: int = BF_UNMAPPED,
+):
+    """Write records as a minimal CRAM 3.0 file (unaligned, single slice).
+
+    ``compress=True`` spreads the external blocks across gzip, rANS
+    order-0 and rANS order-1 so fixtures exercise every block codec the
+    reader supports.  ``bf_flags`` exists for tests that need a mapped
+    record (BF unmapped bit clear)."""
     blocks_ext: Dict[int, bytearray] = {1: bytearray(), 2: bytearray(), 3: bytearray(), 4: bytearray()}
     # series blocks: 1=BF/CF/RL/AP/RG/TL ints, 2=RN names, 3=BA bases, 4=mate ints
     for name, seq in records:
-        blocks_ext[1] += itf8_encode(BF_UNMAPPED)  # BF
+        blocks_ext[1] += itf8_encode(bf_flags)  # BF
         blocks_ext[1] += itf8_encode(CF_DETACHED)  # CF
         blocks_ext[1] += itf8_encode(len(seq))  # RL
         blocks_ext[1] += itf8_encode(0)  # AP
@@ -831,7 +1030,14 @@ def write_unaligned_cram(path, records: List[Tuple[bytes, bytes]], header_text: 
     sh += b"\x00" * 16  # md5
     slice_block = write_block(RAW, MAPPED_SLICE, 0, bytes(sh))
     core_block = write_block(RAW, CORE, 0, b"")
-    ext_blocks = b"".join(write_block(RAW, EXTERNAL, cid, bytes(blocks_ext[cid])) for cid in ext_ids)
+    if compress:
+        methods = {1: RANS0_W, 2: GZIP, 3: RANS1_W, 4: RAW}
+    else:
+        methods = {cid: RAW for cid in ext_ids}
+    ext_blocks = b"".join(
+        write_block(methods.get(cid, RAW), EXTERNAL, cid, bytes(blocks_ext[cid]))
+        for cid in ext_ids
+    )
     body = comp_block + slice_block + core_block + ext_blocks
 
     # containers

@@ -1,0 +1,134 @@
+"""CRAM 3.0 reader/writer (`io.rs:87-117` parity)."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from lrge_tpu.errors import IoError
+from lrge_tpu.io.cram import (
+    ByteReader,
+    itf8_encode,
+    ltf8_encode,
+    rans_decode,
+    rans_encode,
+    read_cram,
+    write_unaligned_cram,
+)
+from lrge_tpu.io.records import count_records, iter_records
+
+
+def _records(n=60, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        (
+            b"read%d" % i,
+            bytes(rng.choice(list(b"ACGT"), size=int(rng.integers(10, 400))).tolist()),
+        )
+        for i in range(n)
+    ]
+
+
+class TestVarints:
+    def test_itf8_roundtrip(self):
+        rng = np.random.default_rng(1)
+        for v in [0, 1, 127, 128, 16383, 16384, 2**21 - 1, 2**28, 2**31 - 1, -1, -7, -(2**31)]:
+            assert ByteReader(itf8_encode(v)).itf8() == v
+        for _ in range(500):
+            v = int(rng.integers(0, 2**31))
+            assert ByteReader(itf8_encode(v)).itf8() == v
+
+    def test_ltf8_roundtrip(self):
+        rng = np.random.default_rng(2)
+        for v in [0, 127, 128, 2**16, 2**32, 2**55, 2**62]:
+            assert ByteReader(ltf8_encode(v)).ltf8() == v
+        for _ in range(500):
+            v = int(rng.integers(0, 2**62))
+            assert ByteReader(ltf8_encode(v)).ltf8() == v
+
+
+class TestRans:
+    @pytest.mark.parametrize("order", [0, 1])
+    def test_roundtrip(self, order):
+        rng = np.random.default_rng(3)
+        cases = [
+            b"A",
+            b"AAAA" * 300,
+            bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),
+            bytes(rng.choice(list(b"ACGT"), 3337).tolist()),
+            b"xy" * 3,
+            b"Q" * 4097,
+        ]
+        for data in cases:
+            assert rans_decode(rans_encode(data, order), len(data)) == data
+
+
+class TestCramRoundtrip:
+    def test_raw_blocks(self, tmp_path):
+        recs = _records()
+        p = tmp_path / "u.cram"
+        write_unaligned_cram(p, recs)
+        assert list(read_cram(open(p, "rb"))) == recs
+
+    def test_compressed_blocks(self, tmp_path):
+        # gzip + rANS order-0 + order-1 external blocks
+        recs = _records(seed=7)
+        p = tmp_path / "c.cram"
+        write_unaligned_cram(p, recs, compress=True)
+        assert list(read_cram(open(p, "rb"))) == recs
+
+    def test_via_iter_records_and_sniffing(self, tmp_path):
+        recs = _records(seed=8)
+        p = tmp_path / "s.cram"
+        write_unaligned_cram(p, recs, compress=True)
+        assert list(iter_records(p)) == recs
+        assert count_records(p) == len(recs)
+
+    def test_gzip_wrapped_cram(self, tmp_path):
+        # outer compression sniffing must unwrap before CRAM detection
+        recs = _records(seed=9, n=20)
+        p = tmp_path / "w.cram"
+        write_unaligned_cram(p, recs)
+        pz = tmp_path / "w.cram.gz"
+        gzip.open(pz, "wb").write(open(p, "rb").read())
+        assert list(iter_records(pz)) == recs
+
+    def test_mapped_record_rejected(self, tmp_path):
+        recs = _records(n=3)
+        p = tmp_path / "m.cram"
+        write_unaligned_cram(p, recs, bf_flags=0)  # unmapped bit clear
+        with pytest.raises(IoError, match="Mapped records are not supported"):
+            list(read_cram(open(p, "rb")))
+
+
+def test_cram_end_to_end_estimate(tmp_path):
+    """A CRAM input must give the same estimate as the same reads via
+    FASTQ (full CLI path)."""
+    from lrge_tpu.cli import main
+
+    rng = np.random.default_rng(11)
+    G = 60_000
+    genome = bytes(rng.choice(list(b"ACGT"), size=G).tolist())
+    rc = bytes.maketrans(b"ACGT", b"TGCA")
+    recs = []
+    for i in range(220):
+        L = int(rng.integers(600, 2500))
+        pos = int(rng.integers(0, G - L))
+        arr = bytearray(genome[pos : pos + L])
+        for j in range(L):
+            if rng.random() < 0.05:
+                arr[j] = int(rng.choice(list(b"ACGT")))
+        s = bytes(arr)
+        if rng.integers(0, 2):
+            s = s.translate(rc)[::-1]
+        recs.append((b"r%d" % i, s))
+    cram = tmp_path / "reads.cram"
+    write_unaligned_cram(cram, recs, compress=True)
+    fq = tmp_path / "reads.fq"
+    with open(fq, "wb") as fh:
+        for nm, sq in recs:
+            fh.write(b"@%s\n%s\n+\n%s\n" % (nm, sq, b"I" * len(sq)))
+    o1, o2 = tmp_path / "e1", tmp_path / "e2"
+    assert main([str(cram), "-T", "120", "-Q", "40", "-s", "4", "-o", str(o1), "-qqq"]) == 0
+    assert main([str(fq), "-T", "120", "-Q", "40", "-s", "4", "-o", str(o2), "-qqq"]) == 0
+    assert o1.read_text() == o2.read_text()
