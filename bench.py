@@ -19,7 +19,13 @@ import time
 
 import numpy as np
 
-BASELINE_QPS = 600.0  # est. 16-thread CPU lrge mapping rate (see module doc)
+# Baseline: the reference's published run (BASELINE.md) maps Q=5000
+# against a T=10000 index in ~17 s wall on 8 CPU threads, including
+# two IO passes and the minimap2 index build; attributing ~60% of the
+# wall to mapping gives ~290 q/s at 8 threads, doubled for the
+# driver's 16-thread target -> ~600 q/s.  This is a documented
+# estimate, not a measurement (no Rust toolchain in this image).
+BASELINE_QPS = 600.0
 
 
 def make_reads(rng, genome, n, mean_len, err):
@@ -45,11 +51,14 @@ def make_reads(rng, genome, n, mean_len, err):
 
 def main():
     n_targets = int(os.environ.get("BENCH_TARGETS", 10_000))
-    n_queries = int(os.environ.get("BENCH_QUERIES", 2_000))
+    n_queries = int(os.environ.get("BENCH_QUERIES", 5_000))
     genome_size = int(os.environ.get("BENCH_GENOME", 4_400_000))
     err = float(os.environ.get("BENCH_ERR", 0.05))
 
     from lrge_tpu.device_engine import DeviceOverlapEngine
+    from lrge_tpu.utils.jaxcache import enable_cache
+
+    enable_cache()
     from lrge_tpu.estimate import median, per_read_estimate_batch
     from lrge_tpu.ops.index import build_index
     from lrge_tpu.platform import Platform, preset_for
@@ -59,7 +68,17 @@ def main():
     genome = np.frombuffer(
         rng.integers(0, 4, size=genome_size, dtype=np.uint8), dtype=np.uint8
     )
-    genome = np.frombuffer(b"ACGT", dtype=np.uint8)[genome].tobytes()
+    genome = bytearray(np.frombuffer(b"ACGT", dtype=np.uint8)[genome].tobytes())
+    # repeat structure (the hard case for chaining heuristics and the
+    # occurrence filter): a dispersed 2 kb family (5 copies) and a
+    # tandem 400 bp x 5 block
+    fam = bytes(genome[100_000:102_000])
+    for c in range(5):
+        pos = 500_000 + c * 700_000
+        genome[pos : pos + 2_000] = fam
+    unit = bytes(genome[200_000:200_400])
+    genome[300_000:302_000] = unit * 5
+    genome = bytes(genome)
     targets = make_reads(rng, genome, n_targets, 2500, err)
     queries = make_reads(rng, genome, n_queries, 2500, err)
     tnames = [b"t%d" % i for i in range(n_targets)]
@@ -82,6 +101,7 @@ def main():
     res = engine.count_batch(qnames, queries)
     t_map = time.perf_counter() - t1
     qps = n_queries / t_map
+    t_total = time.perf_counter() - t0
 
     # end-to-end estimate sanity
     sum_t = sum(len(s) for s in targets)
@@ -92,8 +112,8 @@ def main():
     _, est, _ = median(ests[np.isfinite(ests)])
     err_pct = abs(est - genome_size) / genome_size * 100.0
     print(
-        f"[bench] map: {t_map:.2f}s ({qps:.0f} q/s), fallback={res.fallback_rows}, "
-        f"estimate={est:.0f} ({err_pct:.2f}% err)",
+        f"[bench] map: {t_map:.2f}s ({qps:.0f} q/s), fallback={res.fallback_rows} "
+        f"{dict(engine.fallback_triggers)}, estimate={est:.0f} ({err_pct:.2f}% err)",
         file=sys.stderr,
     )
 
@@ -108,6 +128,8 @@ def main():
                     "estimate_bp": int(est),
                     "estimate_err_pct": round(err_pct, 3),
                     "index_build_s": round(t_index, 2),
+                    "total_wall_s": round(t_total, 2),
+                    "map_s": round(t_map, 2),
                     "host_fallback_rows": int(res.fallback_rows),
                 },
             }

@@ -55,6 +55,20 @@ class DeviceOverlapEngine:
         length_buckets: tuple = LENGTH_BUCKETS,
         super_batch: int = 8,
     ):
+        import os
+
+        # env knobs for tuning program shapes without code changes
+        # (also used by the multi-chip dry run to keep virtual-CPU-mesh
+        # programs within the collective rendezvous timeout)
+        batch_size = int(os.environ.get("LRGE_DEVICE_BATCH", batch_size))
+        num_anchors = int(os.environ.get("LRGE_DEVICE_ANCHORS", num_anchors))
+        window = int(os.environ.get("LRGE_DEVICE_WINDOW", window))
+        super_batch = int(os.environ.get("LRGE_DEVICE_SUPER", super_batch))
+        if "LRGE_DEVICE_BUCKET" in os.environ:
+            length_buckets = (int(os.environ["LRGE_DEVICE_BUCKET"]),)
+        from .utils.jaxcache import enable_cache
+
+        enable_cache()
         self.index = index
         self.params = index.params
         self.host = OverlapEngine(index)
@@ -63,10 +77,46 @@ class DeviceOverlapEngine:
         self.window = window
         self.length_buckets = tuple(sorted(length_buckets))
         self.super_batch = super_batch
+        from collections import Counter
+
+        self.fallback_triggers = Counter()  # why rows went to the host
         self.device_ok = (
             (not self.params.hpc) and 2 * self.params.k <= 32 and len(index.keys) > 0
         )
+        self.sharded = None
         if self.device_ok:
+            import os
+
+            import jax
+
+            n_dev = int(os.environ.get("LRGE_SHARDS", "0")) or len(jax.devices())
+            if n_dev > 1:
+                # multi-chip: shard the target index across devices,
+                # replicate queries, psum disjoint per-shard counts
+                from .parallel.sharded import (
+                    ShardedDeviceIndex,
+                    make_mesh,
+                    sharded_count_fn,
+                )
+
+                self.sharded = ShardedDeviceIndex.from_host(index, n_dev)
+                self._mesh = make_mesh(1, n_dev)
+                p = self.params
+                self._sharded_fn = sharded_count_fn(
+                    self._mesh,
+                    k=p.k,
+                    max_gap=p.max_gap,
+                    bw=p.bw,
+                    min_score=p.min_chain_score,
+                    num_anchors=num_anchors,
+                    window=window,
+                    no_dual=p.no_dual,
+                    no_diag=p.no_diag,
+                    max_chain_skip=p.max_chain_skip,
+                    q_occ_frac=p.q_occ_frac,
+                )
+                logger.debug("device engine: sharded over %d devices", n_dev)
+                return
             # bound per-query anchors by splitting large indices into
             # sub-indices (counts are disjoint per sub-index and summed)
             n_post = len(index.keys)
@@ -94,6 +144,41 @@ class DeviceOverlapEngine:
         with ThreadPoolExecutor(max_workers=min(os.cpu_count() or 2, len(items))) as ex:
             return list(ex.map(lambda t: self._host_count(*t), items))
 
+    def _sharded_group(self, mhash, mpos, mstrand, lengths, dual, selfr, nb):
+        """Dispatch one super-batch group through the sharded mesh fn,
+        returning arrays shaped like a map_many sub-result
+        ([SUPER, B] / [SUPER, B, P])."""
+        import jax.numpy as jnp
+
+        S = self.sharded.n_shards
+        cs, ans, mrs, prs = [], [], [], []
+        for g in range(mhash.shape[0]):
+            c, a, r, pr = self._sharded_fn(
+                jnp.asarray(self.sharded.keys),
+                jnp.asarray(self.sharded.rid),
+                jnp.asarray(self.sharded.pos),
+                jnp.asarray(self.sharded.strand),
+                jnp.asarray(self.sharded.rank),
+                jnp.full((S, 1), self.sharded.mid_occ, jnp.int32),
+                mhash[g],
+                mpos[g],
+                mstrand[g],
+                jnp.asarray(lengths[g]),
+                jnp.asarray(dual[g]),
+                jnp.asarray(selfr[g]),
+                jnp.full((S, 1), self.params.chn_pen_gap(), jnp.float32),
+            )
+            cs.append(c)
+            ans.append(a)
+            mrs.append(r)
+            prs.append(pr)
+        return (
+            jnp.stack(cs),
+            jnp.stack(ans),
+            jnp.stack(mrs),
+            jnp.stack(prs),
+        )
+
     def warmup(self) -> None:
         """Compile the fused program for every length bucket."""
         if not self.device_ok:
@@ -116,6 +201,9 @@ class DeviceOverlapEngine:
                 counts[i], had[i] = c, h
             return BatchCounts(counts, had, n)
 
+        from .utils.jaxcache import enable_cache
+
+        enable_cache()
         import jax.numpy as jnp
 
         p = self.params
@@ -179,6 +267,10 @@ class DeviceOverlapEngine:
             mhash, mpos, mstrand, mcount_d = sketch_many(
                 jnp.asarray(codes), jnp.asarray(lengths), k=p.k, w=p.w
             )
+            if self.sharded is not None:
+                subs = [self._sharded_group(mhash, mpos, mstrand, lengths, dual, selfr, nb)]
+                inflight.append((nb, codes, lengths, ids, mcount_d, subs))
+                continue
             subs = []
             for dev in self.devs:
                 subs.append(
@@ -236,16 +328,24 @@ class DeviceOverlapEngine:
                     if qid < 0:
                         continue  # batch padding row
                     seq_row = codes[g, row, : lengths[g, row]]
-                    needs_host = (
-                        n_anchors[g, row] > self.num_anchors
-                        or max_run[g, row] > self.window
-                        or mcount[g, row] > M
-                        or needs_scalar_sketch(seq_row, p.k, p.w, False)
-                    )
-                    if (
+                    needs_host = False
+                    if n_anchors[g, row] > self.num_anchors:
+                        self.fallback_triggers["anchor_overflow"] += 1
+                        needs_host = True
+                    elif max_run[g, row] > self.window:
+                        self.fallback_triggers["window_miss"] += 1
+                        needs_host = True
+                    elif mcount[g, row] > M:
+                        self.fallback_triggers["minimizer_overflow"] += 1
+                        needs_host = True
+                    elif needs_scalar_sketch(seq_row, p.k, p.w, False):
+                        self.fallback_triggers["sketch_quirk"] += 1
+                        needs_host = True
+                    elif (
                         collect_pairs is not None
                         and int((pair_rids[g, row] >= 0).sum()) < bcounts[g, row]
                     ):
+                        self.fallback_triggers["pair_truncation"] += 1
                         needs_host = True  # per-sub pair list truncated
                     if needs_host:
                         retry.append(qid)
@@ -264,7 +364,13 @@ class DeviceOverlapEngine:
             for i, (c, h) in zip(long_rows, long_future.result()):
                 counts[i], had[i] = c, h
                 fallback += 1
+                self.fallback_triggers["long_read"] += 1
             long_pool.shutdown()
         if fallback:
-            logger.debug("device path: %d/%d rows fell back to host", fallback, n)
+            logger.debug(
+                "device path: %d/%d rows fell back to host (%s)",
+                fallback,
+                n,
+                dict(self.fallback_triggers),
+            )
         return BatchCounts(counts, had, fallback)

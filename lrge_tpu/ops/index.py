@@ -76,7 +76,9 @@ def _sketch_reads_device(seqs, params, lengths):
     from .encode import make_batches
     from .sketch import needs_scalar_sketch, sketch_read
     from .overlap_jax import sketch_many
+    from ..utils.jaxcache import enable_cache
 
+    enable_cache()
     import jax.numpy as jnp
 
     # Use EXACTLY the device engine's program shape (SUPER x B x L) so
@@ -263,13 +265,17 @@ def _assemble_index(all_keys, all_rid, all_pos, all_strand, names, lengths, para
         rid = np.empty(0, dtype=np.int32)
         pos = np.empty(0, dtype=np.int32)
         strand = np.empty(0, dtype=np.int8)
-    # sort by (hash, rid, pos): stable ordering matches the reference's
-    # per-minimizer postings sorted by target position
-    order = np.lexsort((pos, rid, keys))
+    # sort by (hash, rid, pos): the per-read arrays are concatenated in
+    # rid order with positions ascending, so ONE stable sort on the hash
+    # preserves (rid, pos) within ties — much faster than lexsort on
+    # multi-million-posting indices
+    order = np.argsort(keys, kind="stable")
     keys, rid, pos, strand = keys[order], rid[order], pos[order], strand[order]
-    # per-distinct counts for the occurrence cutoff
+    # per-distinct counts for the occurrence cutoff, from run boundaries
+    # of the sorted key array (no np.unique hashing pass)
     if len(keys):
-        _, counts = np.unique(keys, return_counts=True)
+        starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+        counts = np.diff(np.concatenate((starts, [len(keys)])))
     else:
         counts = np.empty(0, dtype=np.int64)
     mid_occ = calc_mid_occ(counts, params)

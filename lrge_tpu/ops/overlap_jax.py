@@ -211,8 +211,12 @@ def map_batch_core(
     valid_s = key2_s != IMAX
 
     # ---- 3. chaining DP ----
-    # chunked scan: C anchors per step (unrolled in-step), one ring
-    # update per chunk — 8x fewer sequential steps than per-anchor.
+    # single-anchor scan: one anchor of all B queries per step, with a
+    # W-deep newest-first predecessor ring in the carry.  (An unrolled
+    # multi-anchor chunk was tried; the skip bookkeeping below made the
+    # unrolled HLO graph ~8x larger and pushed remote compilation past
+    # 10 minutes, while the per-step op shapes [B, W] already saturate
+    # the VPU lanes.)
     # The max_chain_skip early-break is modelled exactly without scan
     # state: for the descending predecessor scan of anchor i,
     #   * "already examined" anchors are simply those at earlier
@@ -227,9 +231,6 @@ def map_batch_core(
     #     window positions.
     span = jnp.int32(k)
     pen_gap = chn_pen_gap.astype(jnp.float32)
-    C = 8
-    assert A % C == 0
-    NC = A // C
 
     def pair_sc(ck, cr, cq, pk, pr, pq, pf, pok):
         """(cand, ok) of transitioning from predecessors p* to current c*.
@@ -255,105 +256,68 @@ def map_batch_core(
         )
         return jnp.where(ok, sc + pf, NEG), ok
 
+    dpos = jnp.arange(W, dtype=jnp.int32)
+
     def step(carry, xs):
         ring_key, ring_rpos, ring_qpos, ring_f, ring_ok, ring_p = carry
-        ck, cr, cq, cv, cslot = xs  # each [C, B]
-        fs, ps, bks = [], [], []
-        for t in range(C):
-            islot = cslot[t]  # [B] absolute slot of the current anchor
-            # descending-j predecessor lanes: intra-chunk (nearest first),
-            # then the ring (already newest-first)
-            if t > 0:
-                pk = jnp.concatenate(
-                    [jnp.stack([ck[u] for u in range(t - 1, -1, -1)], axis=1), ring_key],
-                    axis=1,
-                )
-                pr = jnp.concatenate(
-                    [jnp.stack([cr[u] for u in range(t - 1, -1, -1)], axis=1), ring_rpos],
-                    axis=1,
-                )
-                pq = jnp.concatenate(
-                    [jnp.stack([cq[u] for u in range(t - 1, -1, -1)], axis=1), ring_qpos],
-                    axis=1,
-                )
-                pf = jnp.concatenate(
-                    [jnp.stack([fs[u] for u in range(t - 1, -1, -1)], axis=1), ring_f],
-                    axis=1,
-                )
-                pok = jnp.concatenate(
-                    [jnp.stack([cv[u] for u in range(t - 1, -1, -1)], axis=1), ring_ok],
-                    axis=1,
-                )
-                pp = jnp.concatenate(
-                    [jnp.stack([ps[u] for u in range(t - 1, -1, -1)], axis=1), ring_p],
-                    axis=1,
-                )
-            else:
-                pk, pr, pq, pf, pok, pp = (
-                    ring_key, ring_rpos, ring_qpos, ring_f, ring_ok, ring_p,
-                )
-            D = pk.shape[1]
-            cand, ok = pair_sc(
-                ck[t][:, None], cr[t][:, None], cq[t][:, None], pk, pr, pq, pf, pok
-            )
-            # marked[d]: some valid x at position d' holds p[x] == slot(d).
-            # p_rel = islot-1-p maps link targets to descending positions;
-            # p < slot(x) always, so p_rel[d'] > d' and no triangle mask
-            # is needed.  p == -1 maps to islot (>= D), never matching.
-            p_rel = islot[:, None] - 1 - pp  # [B, D]
-            dpos = jnp.arange(D, dtype=jnp.int32)
-            marked = jnp.any(
-                ok[:, :, None] & (p_rel[:, :, None] == dpos[None, None, :]), axis=1
-            )  # [B, D]
-            # improving[d]: cand beats the running max of examined
-            # predecessors (seeded with span); exclusive cummax suffices
-            # because positions after the break never matter.  Native
-            # cumulative ops (lax.cummax/cummin/cumsum) keep the HLO
-            # graph small — associative_scan unrolls into huge graphs
-            # at these widths and wrecks compile time.
-            cmax = jax.lax.cummax(cand, axis=1)
-            runmax_excl = jnp.concatenate(
-                [jnp.full((B, 1), NEG, jnp.int32), cmax[:, :-1]], axis=1
-            )
-            runmax_excl = jnp.maximum(runmax_excl, span)
-            improving = ok & (cand > runmax_excl)
-            # Lindley skip counter and break position
-            a_step = (ok & marked & ~improving).astype(jnp.int32) - improving.astype(
-                jnp.int32
-            )
-            s_cum = jax.lax.cumsum(a_step, axis=1)
-            runmin = jnp.minimum(jax.lax.cummin(s_cum, axis=1), 0)
-            n_skip = s_cum - runmin
-            over = n_skip > max_chain_skip
-            overed = jax.lax.cummax(over.astype(jnp.int32), axis=1).astype(bool)
-            # the breaking step itself is examined (its increment ran);
-            # everything strictly after the first break is not
-            broken_before = jnp.concatenate(
-                [jnp.zeros((B, 1), bool), overed[:, :-1]], axis=1
-            )
-            cand = jnp.where(broken_before, NEG, cand)
-            best = jnp.max(cand, axis=1)
-            # ties keep the first descending position (largest j)
-            bestd = jnp.argmax(cand, axis=1).astype(jnp.int32)
-            has_pred = best > span
-            p_t = jnp.where(has_pred, islot - 1 - bestd, -1)
-            fs.append(jnp.where(cv[t], jnp.maximum(span, best), NEG))
-            ps.append(jnp.where(cv[t], p_t, -1))
-            # the scan broke inside the visible window: the result is
-            # exact even if the (rid,strand) run extends beyond it
-            bks.append(overed[:, -1] & cv[t])
-        f_chunk = jnp.stack(fs)  # [C, B]
-        p_chunk = jnp.stack(ps)
-        b_chunk = jnp.stack(bks)
-        new_carry = (
-            jnp.concatenate([ck[::-1].T, ring_key[:, : W - C]], axis=1),
-            jnp.concatenate([cr[::-1].T, ring_rpos[:, : W - C]], axis=1),
-            jnp.concatenate([cq[::-1].T, ring_qpos[:, : W - C]], axis=1),
-            jnp.concatenate([f_chunk[::-1].T, ring_f[:, : W - C]], axis=1),
-            jnp.concatenate([cv[::-1].T, ring_ok[:, : W - C]], axis=1),
-            jnp.concatenate([p_chunk[::-1].T, ring_p[:, : W - C]], axis=1),
+        ck, cr, cq, cv, islot = xs  # each [B]
+        cand, ok = pair_sc(
+            ck[:, None], cr[:, None], cq[:, None],
+            ring_key, ring_rpos, ring_qpos, ring_f, ring_ok,
         )
-        return new_carry, (f_chunk, b_chunk)
+        # marked[d]: some valid x at position d' holds p[x] == slot(d).
+        # p_rel = islot-1-p maps link targets to descending positions;
+        # p < slot(x) always, so p_rel[d'] > d' and no triangle mask
+        # is needed.  p == -1 maps to islot (>= W), never matching.
+        p_rel = islot[:, None] - 1 - ring_p  # [B, W]
+        marked = jnp.any(
+            ok[:, :, None] & (p_rel[:, :, None] == dpos[None, None, :]), axis=1
+        )  # [B, W]
+        # improving[d]: cand beats the running max of examined
+        # predecessors (seeded with span); exclusive cummax suffices
+        # because positions after the break never matter.  Native
+        # cumulative ops (lax.cummax/cummin/cumsum) keep the HLO
+        # graph small — associative_scan unrolls into huge graphs
+        # at these widths and wrecks compile time.
+        cmax = jax.lax.cummax(cand, axis=1)
+        runmax_excl = jnp.concatenate(
+            [jnp.full((B, 1), NEG, jnp.int32), cmax[:, :-1]], axis=1
+        )
+        runmax_excl = jnp.maximum(runmax_excl, span)
+        improving = ok & (cand > runmax_excl)
+        # Lindley skip counter and break position
+        a_step = (ok & marked & ~improving).astype(jnp.int32) - improving.astype(
+            jnp.int32
+        )
+        s_cum = jax.lax.cumsum(a_step, axis=1)
+        runmin = jnp.minimum(jax.lax.cummin(s_cum, axis=1), 0)
+        n_skip = s_cum - runmin
+        over = n_skip > max_chain_skip
+        overed = jax.lax.cummax(over.astype(jnp.int32), axis=1).astype(bool)
+        # the breaking step itself is examined (its increment ran);
+        # everything strictly after the first break is not
+        broken_before = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), overed[:, :-1]], axis=1
+        )
+        cand = jnp.where(broken_before, NEG, cand)
+        best = jnp.max(cand, axis=1)
+        # ties keep the first descending position (largest j)
+        bestd = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        has_pred = best > span
+        p_t = jnp.where(cv & has_pred, islot - 1 - bestd, -1)
+        f_t = jnp.where(cv, jnp.maximum(span, best), NEG)
+        # the scan broke inside the visible window: the result is
+        # exact even if the (rid,strand) run extends beyond it
+        b_t = overed[:, -1] & cv
+        new_carry = (
+            jnp.concatenate([ck[:, None], ring_key[:, : W - 1]], axis=1),
+            jnp.concatenate([cr[:, None], ring_rpos[:, : W - 1]], axis=1),
+            jnp.concatenate([cq[:, None], ring_qpos[:, : W - 1]], axis=1),
+            jnp.concatenate([f_t[:, None], ring_f[:, : W - 1]], axis=1),
+            jnp.concatenate([cv[:, None], ring_ok[:, : W - 1]], axis=1),
+            jnp.concatenate([p_t[:, None], ring_p[:, : W - 1]], axis=1),
+        )
+        return new_carry, (f_t, b_t)
 
     init = (
         jnp.full((B, W), IMAX, dtype=jnp.int32),
@@ -364,20 +328,11 @@ def map_batch_core(
         jnp.full((B, W), -1, dtype=jnp.int32),
     )
 
-    def chunked(x, dtype=None):
-        return x.T.reshape(NC, C, B)
-
     slots_bc = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (B, A))
-    xs = (
-        chunked(key2_s),
-        chunked(rpos_s),
-        chunked(qpos_s),
-        chunked(valid_s),
-        chunked(slots_bc),
-    )
-    _, (f_steps, b_steps) = jax.lax.scan(step, init, xs)  # [NC, C, B]
-    f = f_steps.reshape(A, B).T  # [B, A]
-    broke = b_steps.reshape(A, B).T  # [B, A]
+    xs = (key2_s.T, rpos_s.T, qpos_s.T, valid_s.T, slots_bc.T)  # [A, B] each
+    _, (f_steps, b_steps) = jax.lax.scan(step, init, xs)  # [A, B]
+    f = f_steps.T  # [B, A]
+    broke = b_steps.T  # [B, A]
 
     # ---- 4. segmented max over rid runs ----
     boundary = jnp.concatenate(
@@ -506,8 +461,16 @@ class DeviceIndex:
     def _build(cls, keys_u64, rid, pos, strand, name_rank, mid_occ, k, bucket_bits):
         keys32 = (keys_u64.astype(np.uint32) ^ np.uint32(0x80000000)).view(np.int32)
         hash_bits = 2 * k
-        # unique-hash dictionary over the sorted postings
-        uh, ustart = np.unique(keys32, return_index=True)
+        # unique-hash dictionary over the sorted postings: keys32 is
+        # monotone in keys_u64 (hash < 2^31), so run boundaries suffice
+        if len(keys32):
+            ustart = np.flatnonzero(
+                np.concatenate(([True], keys32[1:] != keys32[:-1]))
+            )
+            uh = keys32[ustart]
+        else:
+            ustart = np.empty(0, dtype=np.int64)
+            uh = keys32[:0]
         uoff = np.concatenate([ustart, [len(keys32)]]).astype(np.int32)
         kmax = 8
         if bucket_bits > 0 and hash_bits > bucket_bits and len(uh):
@@ -547,11 +510,13 @@ def _pruned_postings(index):
 
     The mid_occ filter depends only on index-side occurrences, so it is
     applied once at build time (exact; minimap2 applies the same test
-    per query seed)."""
+    per query seed).  Keys are sorted, so per-key counts come from run
+    boundaries (no hashing pass)."""
     keys_all = index.keys
     if len(keys_all):
-        uh_all, inv, cnt = np.unique(keys_all, return_inverse=True, return_counts=True)
-        keep = cnt[inv] <= index.mid_occ
+        starts = np.flatnonzero(np.concatenate(([True], keys_all[1:] != keys_all[:-1])))
+        run_counts = np.diff(np.concatenate((starts, [len(keys_all)])))
+        keep = np.repeat(run_counts <= index.mid_occ, run_counts)
     else:
         keep = np.ones(0, dtype=bool)
     return keys_all[keep], index.rid[keep], index.pos[keep], index.strand[keep]

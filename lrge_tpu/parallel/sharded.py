@@ -108,10 +108,14 @@ def sharded_count_fn(mesh: Mesh, *, k, max_gap, bw, min_score, num_anchors, wind
     leading S axis is sharded over "index".
     """
 
+    from ..utils.jaxcache import enable_cache
+
+    enable_cache()
+
     def per_device(idx_keys, idx_rid, idx_pos, idx_strand, rank, mid_occ,
                    mhash, mpos, mstrand, qlen, qdualrank, qselfrid, chn_pen_gap):
         # inside shard_map: leading shard axes are size 1 on each device
-        counts, n_anchors, max_run, _pair_rids = map_batch_core(
+        counts, n_anchors, max_run, pair_rids = map_batch_core(
             idx_keys[0],
             idx_rid[0],
             idx_pos[0],
@@ -140,7 +144,11 @@ def sharded_count_fn(mesh: Mesh, *, k, max_gap, bw, min_score, num_anchors, wind
         counts = jax.lax.psum(counts, axis_name="index")
         n_anchors = jax.lax.pmax(n_anchors, axis_name="index")
         max_run = jax.lax.pmax(max_run, axis_name="index")
-        return counts, n_anchors, max_run
+        # per-query passing-target lists (global rids, disjoint across
+        # shards): all_gather over the index axis, concat per query
+        allp = jax.lax.all_gather(pair_rids, axis_name="index")  # [S, B, P]
+        allp = jnp.transpose(allp, (1, 0, 2)).reshape(pair_rids.shape[0], -1)
+        return counts, n_anchors, max_run, allp
 
     shard = jax.shard_map(
         per_device,
@@ -160,7 +168,7 @@ def sharded_count_fn(mesh: Mesh, *, k, max_gap, bw, min_score, num_anchors, wind
             P("data"),
             P("index", None),  # chn_pen_gap as [S, 1]
         ),
-        out_specs=(P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data"), P("data", None)),
         # the scan carry is initialised inside the mapped function; skip
         # the varying-manual-axes check rather than pcast every buffer
         check_vma=False,

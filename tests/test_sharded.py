@@ -63,7 +63,7 @@ def _sharded_counts(corpus, n_data, n_index, window=128):
     )
     B = len(queries)
     S = n_index
-    counts, n_anchors, max_run = fn(
+    counts, n_anchors, max_run, _pairs = fn(
         jnp.asarray(sharded.keys),
         jnp.asarray(sharded.rid),
         jnp.asarray(sharded.pos),
@@ -142,3 +142,46 @@ def test_global_pruning_applied_before_sharding():
     # the unique keys survive
     u32 = (uniq.astype(np.uint32) ^ np.uint32(0x80000000)).view(np.int32)
     assert np.isin(u32, sharded.keys.ravel()).all()
+
+
+def test_sharded_strategy_e2e_equals_host(tmp_path, monkeypatch):
+    """TwoSetStrategy with engine="device" over the 8-device virtual
+    mesh (LRGE_SHARDS) must produce per-read estimates identical to the
+    exact host path (VERDICT round-1 item 5)."""
+    from lrge_tpu.strategy.twoset import TwoSetStrategy
+
+    rng = np.random.default_rng(77)
+    genome = bytes(rng.choice(list(b"ACGT"), size=50_000).tolist())
+    rc = bytes.maketrans(b"ACGT", b"TGCA")
+    fq = tmp_path / "reads.fq"
+    with open(fq, "wb") as fh:
+        for i in range(72):
+            L = int(rng.integers(600, 1400))
+            pos = int(rng.integers(0, len(genome) - L))
+            arr = bytearray(genome[pos : pos + L])
+            for j in range(L):
+                if rng.random() < 0.08:
+                    arr[j] = int(rng.choice(list(b"ACGT")))
+            s = bytes(arr)
+            if rng.integers(0, 2):
+                s = s.translate(rc)[::-1]
+            fh.write(b"@r%d\n%s\n+\n%s\n" % (i, s, b"I" * len(s)))
+    monkeypatch.setenv("LRGE_SHARDS", "8")
+    monkeypatch.setenv("LRGE_DEVICE_BATCH", "16")
+    monkeypatch.setenv("LRGE_DEVICE_ANCHORS", "1024")
+    monkeypatch.setenv("LRGE_DEVICE_WINDOW", "64")
+    monkeypatch.setenv("LRGE_DEVICE_SUPER", "2")
+    monkeypatch.setenv("LRGE_DEVICE_BUCKET", "1024")
+    est_dev, nm_dev = TwoSetStrategy(
+        fq, target_num_reads=48, query_num_reads=16, seed=5,
+        tmpdir=tmp_path / "a", engine="device",
+    ).generate_estimates()
+    for v in ("LRGE_SHARDS", "LRGE_DEVICE_BATCH", "LRGE_DEVICE_ANCHORS",
+              "LRGE_DEVICE_WINDOW", "LRGE_DEVICE_SUPER", "LRGE_DEVICE_BUCKET"):
+        monkeypatch.delenv(v)
+    est_host, nm_host = TwoSetStrategy(
+        fq, target_num_reads=48, query_num_reads=16, seed=5,
+        tmpdir=tmp_path / "b", engine="host",
+    ).generate_estimates()
+    assert nm_dev == nm_host
+    np.testing.assert_array_equal(np.asarray(est_dev), np.asarray(est_host))
