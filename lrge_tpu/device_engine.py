@@ -20,6 +20,7 @@ variable spans; device port planned).
 from __future__ import annotations
 
 import logging
+import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -33,8 +34,11 @@ from .ops.sketch import needs_scalar_sketch
 logger = logging.getLogger("lrge")
 
 # padded read lengths the engine will compile programs for; reads longer
-# than the last bucket fall back to the host path
-LENGTH_BUCKETS = (4096,)
+# than the last bucket fall back to the host path.  Each bucket is a
+# separate set of compiled programs with anchor capacity scaled by
+# bucket length, so typical long-read length distributions (ONT tails
+# beyond 4 kb) stay on device.
+LENGTH_BUCKETS = (4096, 16384)
 
 
 @dataclass
@@ -65,7 +69,17 @@ class DeviceOverlapEngine:
         window = int(os.environ.get("LRGE_DEVICE_WINDOW", window))
         super_batch = int(os.environ.get("LRGE_DEVICE_SUPER", super_batch))
         if "LRGE_DEVICE_BUCKET" in os.environ:
-            length_buckets = (int(os.environ["LRGE_DEVICE_BUCKET"]),)
+            length_buckets = tuple(
+                int(t) for t in os.environ["LRGE_DEVICE_BUCKET"].split(",")
+            )
+        else:
+            import jax
+
+            if jax.default_backend() == "cpu":
+                # the CPU backend serves tests and the multi-chip dry
+                # run; compiling the big-bucket XLA scan there takes
+                # minutes for no coverage gain
+                length_buckets = length_buckets[:1]
         from .utils.jaxcache import enable_cache
 
         enable_cache()
@@ -83,6 +97,19 @@ class DeviceOverlapEngine:
         self.device_ok = (
             (not self.params.hpc) and 2 * self.params.k <= 32 and len(index.keys) > 0
         )
+        # chain DP backend: LRGE_PALLAS=1 swaps the XLA scan for the
+        # Pallas ring kernel (ops/chain_pallas.py).  Measured on a v5e
+        # chip (2026-08, A=4096 W=64 B=128): the scan runs the DP in
+        # ~0.01s per 1024-query super-batch (the compiler keeps the ring
+        # carry in registers) while the Pallas kernel takes ~2s, so the
+        # scan stays the default; the kernel remains a tested,
+        # semantics-identical alternative.
+        self.use_pallas = os.environ.get("LRGE_PALLAS") == "1"
+        self.pallas_block = math.gcd(
+            batch_size, int(os.environ.get("LRGE_PALLAS_BLOCK", "8"))
+        )
+        # interpreter-mode kernels (CPU test path for the Pallas DP)
+        self.pallas_interpret = os.environ.get("LRGE_PALLAS_INTERPRET") == "1"
         self.sharded = None
         if self.device_ok:
             import os
@@ -179,13 +206,20 @@ class DeviceOverlapEngine:
             jnp.stack(prs),
         )
 
-    def warmup(self) -> None:
-        """Compile the fused program for every length bucket."""
+    def warmup(self, lengths=None) -> None:
+        """Compile the fused programs ahead of the mapping pass.
+
+        With ``lengths`` (the query read lengths about to be mapped)
+        only the buckets that will actually receive rows are compiled.
+        """
         if not self.device_ok:
             return
+        lo = 0
         for L in self.length_buckets:
-            fake = [b"ACGT" * (L // 8)] * 2
-            self.count_batch([b"__warm0", b"__warm1"], fake)
+            if lengths is None or any(lo < x <= L for x in lengths):
+                fake = [b"ACGT" * (max(lo + 4, L // 2) // 4)] * 2
+                self.count_batch([b"__warm0", b"__warm1"], fake)
+            lo = L
 
     def count_batch(self, names: list, seqs: list, collect_pairs=None) -> BatchCounts:
         """Count overlaps per query; optionally collect passing target
@@ -229,89 +263,106 @@ class DeviceOverlapEngine:
         qselfrid = np.array(
             [self.host._name_to_rid.get(nm, -1) for nm in names], dtype=np.int32
         )
-        batches = make_batches(
-            [seqs[i] for i in dev_rows],
-            ids=dev_rows,
-            batch_size=self.batch_size,
-            pad_to=self.length_buckets[0],
-            pow2_lengths=False,
-            pad_batch=True,
-        )
-        # snap every batch to the bucket length, then run super-batches
-        # of SUPER inner batches per dispatch (lax.map in one program)
-        L = self.length_buckets[0]
-        for batch in batches:
-            L0 = batch.codes.shape[1]
-            if L != L0:
-                pad = np.full((batch.codes.shape[0], L - L0), 4, dtype=np.uint8)
-                batch.codes = np.concatenate([batch.codes, pad], axis=1)
+        # partition device rows into length buckets: each bucket gets
+        # its own program shapes (L, and anchor capacity scaled with L,
+        # so long reads stay on device instead of falling back)
         SUPER = self.super_batch
-        B = self.batch_size
-        M = L // 2
         retry = []
         # stage 1: enqueue every super-batch (dispatch is async; keeping
         # results as device arrays pipelines host prep behind execution)
         inflight = []
-        for off in range(0, len(batches), SUPER):
-            group = batches[off : off + SUPER]
-            nb = len(group)
-            codes = np.full((SUPER, B, L), 4, dtype=np.uint8)
-            lengths = np.zeros((SUPER, B), dtype=np.int32)
-            ids = np.full((SUPER, B), -1, dtype=np.int32)
-            for g, batch in enumerate(group):
-                codes[g] = batch.codes
-                lengths[g] = batch.lengths
-                ids[g] = batch.ids
-            dual = np.where(ids >= 0, qdualrank[ids], 0).astype(np.int32)
-            selfr = np.where(ids >= 0, qselfrid[ids], -1).astype(np.int32)
-            mhash, mpos, mstrand, mcount_d = sketch_many(
-                jnp.asarray(codes), jnp.asarray(lengths), k=p.k, w=p.w
-            )
-            if self.sharded is not None:
-                subs = [self._sharded_group(mhash, mpos, mstrand, lengths, dual, selfr, nb)]
-                inflight.append((nb, codes, lengths, ids, mcount_d, subs))
+        lo = 0
+        for L in self.length_buckets:
+            rows_b = [i for i in dev_rows if lo < len(seqs[i]) <= L]
+            lo = L
+            if not rows_b:
                 continue
-            subs = []
-            for dev in self.devs:
-                subs.append(
-                    map_many(
-                        mhash,
-                        mpos,
-                        mstrand,
-                        jnp.asarray(lengths),
-                        jnp.asarray(dual),
-                        jnp.asarray(selfr),
-                        dev.keys,
-                        dev.rid,
-                        dev.pos,
-                        dev.strand,
-                        dev.rank,
-                        jnp.int32(dev.mid_occ),
-                        jnp.float32(p.chn_pen_gap()),
-                        dev.uhash,
-                        dev.uoff,
-                        dev.boff,
-                        k=p.k,
-                        max_gap=p.max_gap,
-                        bw=p.bw,
-                        min_score=p.min_chain_score,
-                        num_anchors=self.num_anchors,
-                        window=self.window,
-                        no_dual=p.no_dual,
-                        no_diag=p.no_diag,
-                        max_chain_skip=p.max_chain_skip,
-                        q_occ_frac=p.q_occ_frac,
-                        bucket_bits=dev.bucket_bits,
-                        bucket_kmax=dev.bucket_kmax,
-                        packed_pos=True,
-                    )
+            scale = L // self.length_buckets[0]
+            B = max(8, self.batch_size // scale)
+            A = self.num_anchors * scale
+            SUP = max(1, SUPER // scale)
+            batches = make_batches(
+                [seqs[i] for i in rows_b],
+                ids=rows_b,
+                batch_size=B,
+                pad_to=L,
+                pow2_lengths=False,
+                pad_batch=True,
+            )
+            for batch in batches:
+                L0 = batch.codes.shape[1]
+                if L != L0:
+                    pad = np.full((batch.codes.shape[0], L - L0), 4, dtype=np.uint8)
+                    batch.codes = np.concatenate([batch.codes, pad], axis=1)
+            for off in range(0, len(batches), SUP):
+                group = batches[off : off + SUP]
+                nb = len(group)
+                codes = np.full((SUP, B, L), 4, dtype=np.uint8)
+                lengths = np.zeros((SUP, B), dtype=np.int32)
+                ids = np.full((SUP, B), -1, dtype=np.int32)
+                for g, batch in enumerate(group):
+                    codes[g] = batch.codes
+                    lengths[g] = batch.lengths
+                    ids[g] = batch.ids
+                dual = np.where(ids >= 0, qdualrank[ids], 0).astype(np.int32)
+                selfr = np.where(ids >= 0, qselfrid[ids], -1).astype(np.int32)
+                mhash, mpos, mstrand, mcount_d = sketch_many(
+                    jnp.asarray(codes), jnp.asarray(lengths), k=p.k, w=p.w
                 )
-            inflight.append((nb, codes, lengths, ids, mcount_d, subs))
+                if self.sharded is not None:
+                    subs = [
+                        self._sharded_group(
+                            mhash, mpos, mstrand, lengths, dual, selfr, nb
+                        )
+                    ]
+                    inflight.append((nb, B, A, codes, lengths, ids, mcount_d, subs))
+                    continue
+                subs = []
+                for dev in self.devs:
+                    subs.append(
+                        map_many(
+                            mhash,
+                            mpos,
+                            mstrand,
+                            jnp.asarray(lengths),
+                            jnp.asarray(dual),
+                            jnp.asarray(selfr),
+                            dev.keys,
+                            dev.rid,
+                            dev.pos,
+                            dev.strand,
+                            dev.rank,
+                            jnp.int32(dev.mid_occ),
+                            jnp.float32(p.chn_pen_gap()),
+                            dev.uhash,
+                            dev.uoff,
+                            dev.boff,
+                            k=p.k,
+                            max_gap=p.max_gap,
+                            bw=p.bw,
+                            min_score=p.min_chain_score,
+                            num_anchors=A,
+                            window=self.window,
+                            no_dual=p.no_dual,
+                            no_diag=p.no_diag,
+                            max_chain_skip=p.max_chain_skip,
+                            q_occ_frac=p.q_occ_frac,
+                            bucket_bits=dev.bucket_bits,
+                            bucket_kmax=dev.bucket_kmax,
+                            packed_pos=True,
+                            use_pallas=self.use_pallas,
+                            pallas_block=math.gcd(B, self.pallas_block),
+                            pallas_interpret=self.pallas_interpret,
+                        )
+                    )
+                inflight.append((nb, B, A, codes, lengths, ids, mcount_d, subs))
         # stage 2: collect
-        for nb, codes, lengths, ids, mcount_d, subs in inflight:
-            bcounts = np.zeros((SUPER, B), dtype=np.int64)
-            n_anchors = np.zeros((SUPER, B), dtype=np.int64)
-            max_run = np.zeros((SUPER, B), dtype=np.int64)
+        for nb, B, A, codes, lengths, ids, mcount_d, subs in inflight:
+            SUP, _ = lengths.shape
+            M = codes.shape[2] // 2
+            bcounts = np.zeros((SUP, B), dtype=np.int64)
+            n_anchors = np.zeros((SUP, B), dtype=np.int64)
+            max_run = np.zeros((SUP, B), dtype=np.int64)
             pair_lists = []
             for c_s, a_s, r_s, p_s in subs:
                 bcounts += np.asarray(c_s)
@@ -329,7 +380,7 @@ class DeviceOverlapEngine:
                         continue  # batch padding row
                     seq_row = codes[g, row, : lengths[g, row]]
                     needs_host = False
-                    if n_anchors[g, row] > self.num_anchors:
+                    if n_anchors[g, row] > A:
                         self.fallback_triggers["anchor_overflow"] += 1
                         needs_host = True
                     elif max_run[g, row] > self.window:

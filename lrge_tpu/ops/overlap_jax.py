@@ -82,6 +82,9 @@ def map_batch_core(
     bucket_bits: int = 0,
     bucket_kmax: int = 8,
     packed_pos: bool = False,
+    use_pallas: bool = False,
+    pallas_block: int = 8,
+    pallas_interpret: bool = False,
 ):
     """Returns ``(counts [B], n_anchors [B], best_f [B,A], rid_sorted
     [B,A])``; ``n_anchors`` > ``num_anchors`` flags overflow."""
@@ -211,6 +214,34 @@ def map_batch_core(
     valid_s = key2_s != IMAX
 
     # ---- 3. chaining DP ----
+    if use_pallas:
+        # Pallas kernel: same semantics, DP state in vector registers,
+        # loop bounded by the block's real anchor count (see
+        # ops/chain_pallas.py); the XLA scan below remains the CPU-
+        # backend path and the kernel's correctness oracle.
+        from .chain_pallas import chain_dp_skip
+
+        span = jnp.int32(k)
+        nvalid = jnp.sum(valid_s, axis=1).astype(jnp.int32)
+        f, broke_i = chain_dp_skip(
+            key2_s,
+            rpos_s,
+            qpos_s,
+            valid_s,
+            nvalid,
+            chn_pen_gap,
+            span=k,
+            max_gap=max_gap,
+            bw=bw,
+            max_skip=max_chain_skip,
+            window=W,
+            block=pallas_block,
+            interpret=pallas_interpret,
+        )
+        broke = broke_i != 0
+        return _reduce_counts(
+            f, broke, rid_s, key2_s, valid_s, n_anchors, B, A, W, min_score
+        )
     # single-anchor scan: one anchor of all B queries per step, with a
     # W-deep newest-first predecessor ring in the carry.  (An unrolled
     # multi-anchor chunk was tried; the skip bookkeeping below made the
@@ -333,7 +364,12 @@ def map_batch_core(
     _, (f_steps, b_steps) = jax.lax.scan(step, init, xs)  # [A, B]
     f = f_steps.T  # [B, A]
     broke = b_steps.T  # [B, A]
+    return _reduce_counts(
+        f, broke, rid_s, key2_s, valid_s, n_anchors, B, A, W, min_score
+    )
 
+
+def _reduce_counts(f, broke, rid_s, key2_s, valid_s, n_anchors, B, A, W, min_score):
     # ---- 4. segmented max over rid runs ----
     boundary = jnp.concatenate(
         [jnp.ones((B, 1), dtype=bool), rid_s[:, 1:] != rid_s[:, :-1]], axis=1
@@ -538,6 +574,9 @@ map_batch_device = functools.partial(
         "bucket_bits",
         "bucket_kmax",
         "packed_pos",
+        "use_pallas",
+        "pallas_block",
+        "pallas_interpret",
     ),
 )(map_batch_core)
 
@@ -572,6 +611,9 @@ def fused_count_core(
     bucket_bits=0,
     bucket_kmax=8,
     packed_pos=False,
+    use_pallas=False,
+    pallas_block=8,
+    pallas_interpret=False,
 ):
     """Sketch + map in a single program (one dispatch, one compile).
 
@@ -616,6 +658,9 @@ def fused_count_core(
         bucket_bits=bucket_bits,
         bucket_kmax=bucket_kmax,
         packed_pos=packed_pos,
+        use_pallas=use_pallas,
+        pallas_block=pallas_block,
+        pallas_interpret=pallas_interpret,
     )
     return counts, n_anchors, max_run, mcount, pair_rids
 
@@ -637,6 +682,9 @@ fused_count = functools.partial(
         "bucket_bits",
         "bucket_kmax",
         "packed_pos",
+        "use_pallas",
+        "pallas_block",
+        "pallas_interpret",
     ),
 )(fused_count_core)
 
@@ -671,6 +719,9 @@ def fused_count_many_core(
     bucket_bits=0,
     bucket_kmax=8,
     packed_pos=False,
+    use_pallas=False,
+    pallas_block=8,
+    pallas_interpret=False,
 ):
     """A super-batch of query batches in ONE dispatch via lax.map.
 
@@ -711,6 +762,9 @@ def fused_count_many_core(
             bucket_bits=bucket_bits,
             bucket_kmax=bucket_kmax,
             packed_pos=packed_pos,
+            use_pallas=use_pallas,
+            pallas_block=pallas_block,
+            pallas_interpret=pallas_interpret,
         )
 
     return jax.lax.map(body, (codes, lengths, qdualrank, qselfrid))
@@ -733,6 +787,9 @@ fused_count_many = functools.partial(
         "bucket_bits",
         "bucket_kmax",
         "packed_pos",
+        "use_pallas",
+        "pallas_block",
+        "pallas_interpret",
     ),
 )(fused_count_many_core)
 
@@ -784,6 +841,9 @@ def map_many_core(
     bucket_bits,
     bucket_kmax,
     packed_pos,
+    use_pallas=False,
+    pallas_block=8,
+    pallas_interpret=False,
 ):
     """Map pre-sketched super-batches against one (sub-)index.
 
@@ -824,6 +884,9 @@ def map_many_core(
             bucket_bits=bucket_bits,
             bucket_kmax=bucket_kmax,
             packed_pos=packed_pos,
+            use_pallas=use_pallas,
+            pallas_block=pallas_block,
+            pallas_interpret=pallas_interpret,
         )
 
     return jax.lax.map(body, (mhash, mpos, mstrand, qlen, qdualrank, qselfrid))
@@ -845,5 +908,8 @@ map_many = functools.partial(
         "bucket_bits",
         "bucket_kmax",
         "packed_pos",
+        "use_pallas",
+        "pallas_block",
+        "pallas_interpret",
     ),
 )(map_many_core)

@@ -178,9 +178,9 @@ class AvaStrategy(Estimate):
 
         logger.info("Using device overlap engine (overlaps.paf not written)")
         dev = DeviceOverlapEngine(engine.index)
-        dev.warmup()
         names = [n for n, _ in reads]
         seqs = [s for _, s in reads]
+        dev.warmup([len(s) for s in seqs])
         pairs: dict[int, np.ndarray] = {}
         res = dev.count_batch(names, seqs, collect_pairs=pairs)
         ovlap_counter = {nm: 0 for nm in names}

@@ -214,9 +214,9 @@ class TwoSetStrategy(Estimate):
 
         logger.info("Using device overlap engine (overlaps.paf not written)")
         dev = DeviceOverlapEngine(engine.index)
-        dev.warmup()
         names = [n for n, _ in queries]
         seqs = [s for _, s in queries]
+        dev.warmup([len(s) for s in seqs])
         res = dev.count_batch(names, seqs)
         no_mapping_count = int((~res.had_mapping).sum())
         estimates = per_read_estimate_batch(
