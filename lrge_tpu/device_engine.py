@@ -28,7 +28,7 @@ import numpy as np
 from .engine import OverlapEngine
 from .ops.encode import make_batches
 from .ops.index import TargetIndex
-from .ops.overlap_jax import DeviceIndex, map_many, sketch_many
+from .ops.overlap_jax import DeviceIndex, map_many, minimizer_cap, sketch_many
 from .ops.sketch import needs_scalar_sketch
 
 logger = logging.getLogger("lrge")
@@ -149,7 +149,9 @@ class DeviceOverlapEngine:
             n_post = len(index.keys)
             n_uniq = max(1, len(np.unique(index.keys)) if n_post else 1)
             avg_occ = n_post / n_uniq
-            exp_anchors = (self.length_buckets[-1] / 3.0) * avg_occ
+            # keyed to the base bucket: larger buckets scale their
+            # anchor capacity with length, so the ratio is invariant
+            exp_anchors = (self.length_buckets[0] / 3.0) * avg_occ
             self.n_sub = max(1, int(np.ceil(exp_anchors / (0.6 * num_anchors))))
             if self.n_sub == 1:
                 self.devs = [DeviceIndex.from_host(index)]
@@ -277,8 +279,11 @@ class DeviceOverlapEngine:
             lo = L
             if not rows_b:
                 continue
+            # constant batch width across buckets (full [B, A] rows keep
+            # the gather/sort stages occupied); anchor capacity scales
+            # with read length, dispatch depth shrinks to compensate
             scale = L // self.length_buckets[0]
-            B = max(8, self.batch_size // scale)
+            B = self.batch_size
             A = self.num_anchors * scale
             SUP = max(1, SUPER // scale)
             batches = make_batches(
@@ -359,7 +364,7 @@ class DeviceOverlapEngine:
         # stage 2: collect
         for nb, B, A, codes, lengths, ids, mcount_d, subs in inflight:
             SUP, _ = lengths.shape
-            M = codes.shape[2] // 2
+            M = minimizer_cap(codes.shape[2])
             bcounts = np.zeros((SUP, B), dtype=np.int64)
             n_anchors = np.zeros((SUP, B), dtype=np.int64)
             max_run = np.zeros((SUP, B), dtype=np.int64)

@@ -41,6 +41,9 @@ class Mapping:
     mlen: int
     blen: int
     tp: str = "P"
+    n_sub: int = 0  # number of secondaries attached to this primary
+    subsc: int = 0  # best secondary score
+    n_match_pos: int = 0  # distinct query end positions in the chain
 
 
 def _chain_to_mapping(chain: Chain, anchors: Anchors, qlen: int) -> Mapping:
@@ -67,7 +70,9 @@ def _chain_to_mapping(chain: Chain, anchors: Anchors, qlen: int) -> Mapping:
         maxl = np.maximum(dq, dr)
         mlen += int(np.minimum(minl, sp[1:]).sum())
         blen += int(maxl.sum())
+    n_match_pos = int(len(np.unique(qp)))
     return Mapping(
+        n_match_pos=n_match_pos,
         rid=chain.rid,
         strand=chain.strand,
         qs=qs,
@@ -88,7 +93,9 @@ def _set_parents(mappings: List[Mapping]) -> None:
     interval overlaps an existing primary by >= MASK_LEVEL of the
     shorter interval becomes its secondary (``tp:A:S``); in minimap2's
     AVA mode nothing is dropped (`map.c` skips ``mm_select_sub`` when
-    MM_F_AVA is set), so this only affects the tp tag.
+    MM_F_AVA is set), so this only affects the tp tag.  Each primary
+    accumulates its secondary count and best secondary score, the
+    inputs of minimap2's mapq model.
     """
     primaries: List[Mapping] = []
     for m in sorted(mappings, key=lambda m: -m.score):
@@ -106,6 +113,41 @@ def _set_parents(mappings: List[Mapping]) -> None:
             primaries.append(m)
         else:
             m.tp = "S"
+            parent.n_sub += 1
+            if m.score > parent.subsc:
+                parent.subsc = m.score
+
+
+def _mapq(m: Mapping, min_chain_score: int) -> int:
+    """minimap2's chain-only mapq model (`mm_set_mapq`, map.c).
+
+    For mappings without base-level alignment (no ``-c``, the lrge
+    configuration): ``mapq = pen * 40 * (1 - subsc/score) * ln(score)``
+    with ``pen = min(pen_cm, pen_s1)``, ``pen_cm = min(1, cnt/10)``,
+    ``pen_s1 = min(1, score/100)``, minus a ``4.343*ln(n_sub+1)``
+    secondary-count penalty, clamped to [0, 60]; secondaries get 0 and
+    an unambiguous primary with mapq 0 is bumped to 1.  Reconstructed
+    from a study of minimap2 2.30's map.c (the source is not available
+    in this environment); numeric differences are possible in corner
+    cases but the model matches on unambiguous chains.
+    """
+    import math
+
+    if m.tp != "P":
+        return 0
+    subsc = max(m.subsc, min_chain_score)
+    if m.score <= 0:
+        return 0
+    x = subsc / m.score
+    pen_cm = 1.0 if m.cnt > 10 else 0.1 * m.cnt
+    pen_s1 = 1.0 if m.score > 100 else 0.01 * m.score
+    pen = min(pen_cm, pen_s1)
+    mapq = int(pen * 40.0 * (1.0 - x) * math.log(m.score))
+    mapq -= int(4.343 * math.log(m.n_sub + 1) + 0.499)
+    mapq = max(mapq, 0)
+    if m.score > subsc and mapq == 0:
+        mapq = 1
+    return min(mapq, 60)
 
 
 class OverlapEngine:
@@ -148,15 +190,25 @@ class OverlapEngine:
         mappings = [_chain_to_mapping(c, anchors, qlen) for c in chains]
         _set_parents(mappings)
         # dv: sequence-divergence estimate from minimizer retention
-        # (approximation of minimap2's mm_est_err; refine for parity)
+        # (`mm_est_err`, map.c): n_tot = query minimizers whose end
+        # position lies in the mapped window's interior (a full k-mer
+        # fits), n_match = distinct query end positions among the
+        # chain's anchors, dv = 1 - (n_match/n_tot)^(1/avg_span).
+        # Reconstructed from a study of minimap2 2.30 (source not
+        # available here); the tag format and zero/rounding rules are
+        # golden-tested against `mapping.rs`.
+        spans = (mz.key & np.uint64(0xFF)).astype(np.float64)
+        avg_k = float(spans.mean()) if len(spans) else float(self.params.k)
         qpos_sorted = np.sort(mz.pos)
         records = []
         for m in mappings:
-            n_window = int(
-                np.searchsorted(qpos_sorted, m.qe) - np.searchsorted(qpos_sorted, m.qs)
+            lo = m.qs + int(avg_k + 0.499) - 1
+            n_tot = int(
+                np.searchsorted(qpos_sorted, m.qe, side="right")
+                - np.searchsorted(qpos_sorted, lo, side="left")
             )
-            if n_window > 0 and m.cnt < n_window:
-                dv = float(1.0 - (m.cnt / n_window) ** (1.0 / self.params.k))
+            if n_tot > 0 and m.n_match_pos < n_tot:
+                dv = float(1.0 - (m.n_match_pos / n_tot) ** (1.0 / avg_k))
             else:
                 dv = 0.0
             records.append(
@@ -172,7 +224,7 @@ class OverlapEngine:
                     target_end=m.re,
                     match_len=m.mlen,
                     block_len=m.blen,
-                    mapq=0,
+                    mapq=_mapq(m, self.params.min_chain_score),
                     tp=m.tp,
                     cm=m.cnt,
                     s1=m.score,

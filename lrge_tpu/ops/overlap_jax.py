@@ -51,6 +51,18 @@ def mg_log2_jax(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+
+def minimizer_cap(L: int) -> int:
+    """Minimizer-slot capacity for padded read length ``L``.
+
+    Expected density is 2/(w+1) (~L/3 at w=5); 2L/5 leaves ~20%% slack
+    for tie emission.  Reads that exceed the cap are detected exactly
+    (``mcount`` > cap) and recomputed on the host, so this is a
+    performance knob, not a correctness bound.  Rounded to the 128-lane
+    tile.
+    """
+    return max(128, ((2 * L // 5) + 127) // 128 * 128)
+
 def map_batch_core(
     idx_keys: jnp.ndarray,  # [N] int32 (hash ^ 0x80000000, sorted)
     idx_rid: jnp.ndarray,  # [N] int32
@@ -162,15 +174,22 @@ def map_batch_core(
         occ = jnp.where(q_drop, 0, occ)
 
     # ---- 2. anchor expansion ----
+    # gathers dominate this pipeline on TPU (measured: take_along over
+    # [B,A] ~18ns/elem), so the per-anchor minimizer attributes are
+    # pre-combined into TWO gatherable planes: ``adj`` (the posting
+    # offset arithmetic folded into one i32) and ``mps`` (query end
+    # position and strand packed).
     cum = jnp.cumsum(occ, axis=1)
     total = cum[:, -1]
     slots = jnp.arange(A, dtype=jnp.int32)
     m_idx = jax.vmap(lambda c: jnp.searchsorted(c, slots, side="right"))(cum)
     m_idx = jnp.minimum(m_idx, M - 1).astype(jnp.int32)
     valid = slots[None, :] < jnp.minimum(total, A)[:, None]
-    prev_cum = jnp.take_along_axis(cum, m_idx, axis=1) - jnp.take_along_axis(occ, m_idx, axis=1)
-    p_idx = jnp.take_along_axis(start, m_idx, axis=1) + (slots[None, :] - prev_cum)
+    # p_idx = start[m] + (slot - (cum[m] - occ[m])) = slot + adj[m]
+    adj = start - cum + occ
+    p_idx = slots[None, :] + jnp.take_along_axis(adj, m_idx, axis=1)
     p_idx = jnp.clip(p_idx, 0, max(N - 1, 0))
+    mps = mpos * 2 + mstrand
 
     rid = jnp.where(valid, idx_rid[p_idx], IMAX)
     if packed_pos:
@@ -180,9 +199,10 @@ def map_batch_core(
     else:
         rpos = jnp.where(valid, idx_pos[p_idx], 0)
         tstrand = idx_strand[p_idx]
-    qstr = jnp.take_along_axis(mstrand, m_idx, axis=1)
+    mps_a = jnp.take_along_axis(mps, m_idx, axis=1)
+    qstr = mps_a & 1
     strand = jnp.where(valid, tstrand ^ qstr, 0)
-    mq = jnp.take_along_axis(mpos, m_idx, axis=1)
+    mq = mps_a >> 1
     qpos_fwd = mq
     qpos_rev = qlen[:, None] - mq + (k - 2)
     qpos = jnp.where(strand == 0, qpos_fwd, qpos_rev)
@@ -624,7 +644,7 @@ def fused_count_core(
     """
     from .sketch_jax import sketch_core
 
-    M = codes.shape[1] // 2
+    M = minimizer_cap(codes.shape[1])
     mhash, mpos, mstrand, mcount = sketch_core(
         codes, lengths, k=k, w=w, max_minimizers=M
     )
@@ -798,7 +818,7 @@ def sketch_many_core(codes, lengths, *, k, w):
     """Sketch a super-batch [NB, B, L] in one dispatch."""
     from .sketch_jax import sketch_core
 
-    M = codes.shape[-1] // 2
+    M = minimizer_cap(codes.shape[-1])
 
     def body(args):
         c, ln = args
