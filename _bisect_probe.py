@@ -1,0 +1,76 @@
+import time, sys, functools
+import numpy as np, jax, jax.numpy as jnp
+sys.argv = ["bench"]
+import bench as B
+from lrge_tpu.device_engine import DeviceOverlapEngine
+from lrge_tpu.ops.index import build_index
+from lrge_tpu.ops.overlap_jax import sketch_lookup_many, IMAX as _IMAX
+from lrge_tpu.platform import Platform, preset_for
+from lrge_tpu.ops.encode import encode_seq
+
+rng = np.random.default_rng(6)
+genome = np.frombuffer(rng.integers(0,4,size=4_400_000,dtype=np.uint8), dtype=np.uint8)
+genome = bytes(np.frombuffer(b"ACGT",dtype=np.uint8)[genome].tobytes())
+targets = B.make_reads(rng, genome, 10_000, 2500, 0.05)
+tnames = [b"t%d"%i for i in range(10_000)]
+params = preset_for(Platform.NANOPORE, dual=True)
+index = build_index(targets, tnames, params)
+eng = DeviceOverlapEngine(index, batch_size=128, num_anchors=4096, window=64)
+gd = eng.gdev
+queries = B.make_reads(rng, genome, 1024, 2500, 0.05)
+SUP, Bb, L, A, W = 8, 128, 4096, 4096, 64
+codes = np.full((SUP,Bb,L), 4, np.uint8); lengths = np.zeros((SUP,Bb), np.int32)
+for i,q in enumerate(queries):
+    q=q[:L]; g,b=divmod(i,Bb); codes[g,b,:len(q)]=encode_seq(q); lengths[g,b]=len(q)
+p = params
+found, mps, mc = sketch_lookup_many(jnp.asarray(codes), jnp.asarray(lengths),
+    gd.uhash, gd.uoff, gd.boff, jnp.int32(gd.mid_occ),
+    k=p.k, w=p.w, bucket_bits=gd.bucket_bits, bucket_kmax=gd.bucket_kmax, q_occ_frac=p.q_occ_frac)
+jax.block_until_ready(found)
+qlen = jnp.asarray(lengths)
+lo, hi, rid_t, pos_t = gd.lo[0], gd.hi[0], gd.rid, gd.pos
+IMAX = jnp.int32(np.iinfo(np.int32).max)
+
+def stagefn(stage):
+    @jax.jit
+    def run(found, mps, qlen):
+        def body(args):
+            fo, mp, ql = args
+            Bq, M = fo.shape
+            fc = jnp.maximum(fo, 0)
+            l = lo[fc]; h = hi[fc]
+            occ = jnp.where(fo >= 0, h - l, 0).astype(jnp.int32)
+            if stage == "occ": return occ.sum(axis=1)
+            cum = jnp.cumsum(occ, axis=1); total = cum[:, -1]
+            if stage == "cum": return cum.sum(axis=1)
+            slots = jnp.arange(A, dtype=jnp.int32)
+            m_idx = jax.vmap(lambda c: jnp.searchsorted(c, slots, side="right"))(cum)
+            m_idx = jnp.minimum(m_idx, M-1).astype(jnp.int32)
+            if stage == "midx": return m_idx.sum(axis=1)
+            valid = slots[None,:] < jnp.minimum(total, A)[:, None]
+            adj = l - cum + occ
+            p_idx = slots[None,:] + jnp.take_along_axis(adj, m_idx, axis=1)
+            p_idx = jnp.clip(p_idx, 0, rid_t.shape[0]-1)
+            if stage == "expand": return p_idx.sum(axis=1)
+            rid = jnp.where(valid, rid_t[p_idx], IMAX)
+            pp = pos_t[p_idx]
+            rpos = jnp.where(valid, pp >> 1, 0)
+            tstrand = pp & 1
+            mps_a = jnp.take_along_axis(mp, m_idx, axis=1)
+            qstr = mps_a & 1
+            strand = jnp.where(valid, tstrand ^ qstr, 0)
+            mq = mps_a >> 1
+            qpos = jnp.where(strand == 0, mq, ql[:, None] - mq + (p.k - 2))
+            if stage == "gather": return (rid.sum(axis=1) + rpos.sum(axis=1) + qpos.sum(axis=1))
+            key2 = jnp.where(valid, rid*2+strand, IMAX)
+            key2_s, rpos_s, qpos_s, rid_s = jax.lax.sort((key2, rpos, qpos, rid), dimension=1, num_keys=2, is_stable=True)
+            if stage == "sort": return key2_s.sum(axis=1) + rpos_s.sum(axis=1)
+            return key2_s.sum(axis=1)
+        return jax.lax.map(body, (found, mps, qlen))
+    return run
+
+for stage in ["cum", "midx", "expand"]:
+    f = stagefn(stage)
+    o = f(found, mps, qlen); jax.block_until_ready(o); t0=time.time()
+    o = f(found, mps, qlen); jax.block_until_ready(o); t1=time.time()
+    print(f"{stage}: {t1-t0:.3f}s", file=sys.stderr)

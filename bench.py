@@ -116,6 +116,9 @@ def main():
         f"{dict(engine.fallback_triggers)}, estimate={est:.0f} ({err_pct:.2f}% err)",
         file=sys.stderr,
     )
+    if getattr(engine, "last_phases", None):
+        ph = {k: round(v, 2) for k, v in engine.last_phases.items()}
+        print(f"[bench] phases: {ph}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -12,9 +12,10 @@ truncation, or a (rid,strand) anchor run longer than the DP window —
 are recomputed with the exact host engine, so **counts are always
 exact**; the device only accelerates.
 
-The ONT preset (non-HPC, 2k <= 32) is device-supported; the PacBio/HPC
-preset currently routes everything to the host path (64-bit keys and
-variable spans; device port planned).
+Both presets run on device.  ONT (2k <= 32) sketches on device in
+uint32 lanes; PacBio/HPC sketches on the host (native kernel — exact
+for HPC spans and sketch quirks) and ships 38-bit hash planes to the
+device for lookup + span-aware chaining with the min_cnt gate.
 """
 
 from __future__ import annotations
@@ -28,7 +29,12 @@ import numpy as np
 from .engine import OverlapEngine
 from .ops.encode import make_batches
 from .ops.index import TargetIndex
-from .ops.overlap_jax import DeviceIndex, map_many, minimizer_cap, sketch_many
+from .ops.overlap_jax import (
+    map_found_many,
+    minimizer_cap,
+    sketch_lookup_many,
+    sketch_many,
+)
 from .ops.sketch import needs_scalar_sketch
 
 logger = logging.getLogger("lrge")
@@ -94,8 +100,15 @@ class DeviceOverlapEngine:
         from collections import Counter
 
         self.fallback_triggers = Counter()  # why rows went to the host
-        self.device_ok = (
-            (not self.params.hpc) and 2 * self.params.k <= 32 and len(index.keys) > 0
+        # PacBio/HPC preset: 2k=38-bit keys (two int32 planes on device)
+        # and variable spans; queries are sketched on the host (native
+        # kernel, exact incl. HPC quirks) and looked up + chained on
+        # device.  Requires the native sketcher for throughput.
+        from .native import native as _native
+
+        self.pb_mode = self.params.hpc or 2 * self.params.k > 32
+        self.device_ok = len(index.keys) > 0 and (
+            (not self.pb_mode) or _native is not None
         )
         # chain DP backend: LRGE_PALLAS=1 swaps the XLA scan for the
         # Pallas ring kernel (ops/chain_pallas.py).  Measured on a v5e
@@ -117,7 +130,7 @@ class DeviceOverlapEngine:
             import jax
 
             n_dev = int(os.environ.get("LRGE_SHARDS", "0")) or len(jax.devices())
-            if n_dev > 1:
+            if n_dev > 1 and not self.pb_mode:
                 # multi-chip: shard the target index across devices,
                 # replicate queries, psum disjoint per-shard counts
                 from .parallel.sharded import (
@@ -145,7 +158,8 @@ class DeviceOverlapEngine:
                 logger.debug("device engine: sharded over %d devices", n_dev)
                 return
             # bound per-query anchors by splitting large indices into
-            # sub-indices (counts are disjoint per sub-index and summed)
+            # sub-indices (counts are disjoint per sub-index and summed);
+            # the minimizer lookup is shared across subs (grouped layout)
             n_post = len(index.keys)
             n_uniq = max(1, len(np.unique(index.keys)) if n_post else 1)
             avg_occ = n_post / n_uniq
@@ -153,11 +167,43 @@ class DeviceOverlapEngine:
             # anchor capacity with length, so the ratio is invariant
             exp_anchors = (self.length_buckets[0] / 3.0) * avg_occ
             self.n_sub = max(1, int(np.ceil(exp_anchors / (0.6 * num_anchors))))
-            if self.n_sub == 1:
-                self.devs = [DeviceIndex.from_host(index)]
-            else:
-                self.devs = DeviceIndex.subindexes(index, self.n_sub)
-            logger.debug("device engine: %d sub-indexes", self.n_sub)
+            from .ops.overlap_jax import GroupedDeviceIndex
+
+            self.gdev = GroupedDeviceIndex.from_host(index, self.n_sub)
+            if self.gdev is None:
+                # every posting pruned by the occurrence cutoff
+                self.device_ok = False
+            logger.debug("device engine: %d sub-indexes (shared lookup)", self.n_sub)
+
+    def _pb_planes(self, row_seqs, M):
+        """Host-sketch a batch of PacBio reads into device lookup planes.
+
+        Returns ``(qhi, qlo, mps, mcount)``: two int32 hash planes
+        (38-bit hash split at bit 19, -1 padding), the packed
+        pos/span/strand plane (``pos<<9 | span<<1 | strand``), and the
+        true minimizer counts (rows exceeding ``M`` must fall back)."""
+        from .ops.sketch import sketch_seqs_native
+
+        p = self.params
+        mzs = sketch_seqs_native(row_seqs, p.k, p.w, p.hpc)
+        n = len(row_seqs)
+        qhi = np.full((n, M), -1, dtype=np.int32)
+        qlo = np.zeros((n, M), dtype=np.int32)
+        mps = np.zeros((n, M), dtype=np.int32)
+        mcount = np.zeros(n, dtype=np.int32)
+        for i, mz in enumerate(mzs):
+            h38 = mz.key >> np.uint64(8)
+            c = min(len(h38), M)
+            mcount[i] = len(h38)
+            qhi[i, :c] = (h38 >> np.uint64(19)).astype(np.int32)[:c]
+            qlo[i, :c] = (h38 & np.uint64((1 << 19) - 1)).astype(np.int32)[:c]
+            span = (mz.key & np.uint64(0xFF)).astype(np.int32)
+            mps[i, :c] = (
+                (mz.pos.astype(np.int32)[:c] << 9)
+                | (span[:c] << 1)
+                | mz.strand.astype(np.int32)[:c]
+            )
+        return qhi, qlo, mps, mcount
 
     def _host_count(self, name: bytes, seq: bytes) -> tuple[int, int]:
         return self.host.count_overlaps(name, seq)
@@ -227,10 +273,14 @@ class DeviceOverlapEngine:
         """Count overlaps per query; optionally collect passing target
         ids per query into ``collect_pairs`` (a dict qid -> rid array),
         used for the ava strategy's symmetric pair counting."""
+        import time as _time
+
         n = len(seqs)
         counts = np.zeros(n, dtype=np.int32)
         had = np.zeros(n, dtype=bool)
         fallback = 0
+        phases = {"prep": 0.0, "enqueue": 0.0, "collect": 0.0, "retry": 0.0}
+        _t0 = _time.perf_counter()
         if not self.device_ok:
             results = self._host_count_many(list(zip(names, seqs)))
             for i, (c, h) in enumerate(results):
@@ -311,10 +361,10 @@ class DeviceOverlapEngine:
                     ids[g] = batch.ids
                 dual = np.where(ids >= 0, qdualrank[ids], 0).astype(np.int32)
                 selfr = np.where(ids >= 0, qselfrid[ids], -1).astype(np.int32)
-                mhash, mpos, mstrand, mcount_d = sketch_many(
-                    jnp.asarray(codes), jnp.asarray(lengths), k=p.k, w=p.w
-                )
                 if self.sharded is not None:
+                    mhash, mpos, mstrand, mcount_d = sketch_many(
+                        jnp.asarray(codes), jnp.asarray(lengths), k=p.k, w=p.w
+                    )
                     subs = [
                         self._sharded_group(
                             mhash, mpos, mstrand, lengths, dual, selfr, nb
@@ -322,26 +372,63 @@ class DeviceOverlapEngine:
                     ]
                     inflight.append((nb, B, A, codes, lengths, ids, mcount_d, subs))
                     continue
+                # fused sketch + shared dictionary lookup (one program),
+                # then one gather-lean map dispatch per sub-index
+                gd = self.gdev
+                if self.pb_mode:
+                    from .ops.overlap_jax import pb_lookup_many
+
+                    qhi, qlo, mps_h, mc_h = self._pb_planes(
+                        [seqs[i] if i >= 0 else b"" for i in ids.ravel()],
+                        minimizer_cap(L),
+                    )
+                    SH = ids.shape
+                    M_L = qhi.shape[1]
+                    found = pb_lookup_many(
+                        jnp.asarray(qhi.reshape(*SH, M_L)),
+                        jnp.asarray(qlo.reshape(*SH, M_L)),
+                        gd.uhash,
+                        gd.uhash_lo,
+                        gd.uoff,
+                        gd.boff,
+                        jnp.int32(gd.mid_occ),
+                        hash_bits=2 * p.k,
+                        bucket_bits=gd.bucket_bits,
+                        bucket_kmax=gd.bucket_kmax,
+                        q_occ_frac=p.q_occ_frac,
+                    )
+                    mps = jnp.asarray(mps_h.reshape(*SH, M_L))
+                    mcount_d = mc_h.reshape(SH)
+                else:
+                    found, mps, mcount_d = sketch_lookup_many(
+                        jnp.asarray(codes),
+                        jnp.asarray(lengths),
+                        gd.uhash,
+                        gd.uoff,
+                        gd.boff,
+                        jnp.int32(gd.mid_occ),
+                        k=p.k,
+                        w=p.w,
+                        bucket_bits=gd.bucket_bits,
+                        bucket_kmax=gd.bucket_kmax,
+                        q_occ_frac=p.q_occ_frac,
+                    )
                 subs = []
-                for dev in self.devs:
+                for s in range(gd.n_sub):
                     subs.append(
-                        map_many(
-                            mhash,
-                            mpos,
-                            mstrand,
+                        map_found_many(
+                            found,
+                            mps,
                             jnp.asarray(lengths),
                             jnp.asarray(dual),
                             jnp.asarray(selfr),
-                            dev.keys,
-                            dev.rid,
-                            dev.pos,
-                            dev.strand,
-                            dev.rank,
-                            jnp.int32(dev.mid_occ),
+                            gd.lo[s],
+                            gd.hi[s],
+                            gd.rid,
+                            gd.pos,
+                            gd.pos,  # unused under packed_pos
+                            gd.rank,
                             jnp.float32(p.chn_pen_gap()),
-                            dev.uhash,
-                            dev.uoff,
-                            dev.boff,
                             k=p.k,
                             max_gap=p.max_gap,
                             bw=p.bw,
@@ -351,18 +438,21 @@ class DeviceOverlapEngine:
                             no_dual=p.no_dual,
                             no_diag=p.no_diag,
                             max_chain_skip=p.max_chain_skip,
-                            q_occ_frac=p.q_occ_frac,
-                            bucket_bits=dev.bucket_bits,
-                            bucket_kmax=dev.bucket_kmax,
                             packed_pos=True,
-                            use_pallas=self.use_pallas,
+                            use_pallas=self.use_pallas and not self.pb_mode,
                             pallas_block=math.gcd(B, self.pallas_block),
                             pallas_interpret=self.pallas_interpret,
+                            with_spans=self.pb_mode,
+                            min_cnt=p.min_cnt,
                         )
                     )
                 inflight.append((nb, B, A, codes, lengths, ids, mcount_d, subs))
+        phases["enqueue"] = _time.perf_counter() - _t0
         # stage 2: collect
+        _t0 = _time.perf_counter()
+        _tb = _t0
         for nb, B, A, codes, lengths, ids, mcount_d, subs in inflight:
+            _L = codes.shape[2]
             SUP, _ = lengths.shape
             M = minimizer_cap(codes.shape[2])
             bcounts = np.zeros((SUP, B), dtype=np.int64)
@@ -394,7 +484,9 @@ class DeviceOverlapEngine:
                     elif mcount[g, row] > M:
                         self.fallback_triggers["minimizer_overflow"] += 1
                         needs_host = True
-                    elif needs_scalar_sketch(seq_row, p.k, p.w, False):
+                    elif (not self.pb_mode) and needs_scalar_sketch(
+                        seq_row, p.k, p.w, False
+                    ):
                         self.fallback_triggers["sketch_quirk"] += 1
                         needs_host = True
                     elif (
@@ -411,6 +503,11 @@ class DeviceOverlapEngine:
                         if collect_pairs is not None:
                             pr = pair_rids[g, row]
                             collect_pairs[qid] = pr[pr >= 0].copy()
+            _now = _time.perf_counter()
+            phases[f"collect_L{_L}"] = phases.get(f"collect_L{_L}", 0.0) + (_now - _tb)
+            _tb = _now
+        phases["collect"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         for qid, (c, h) in zip(
             retry, self._host_count_many([(names[i], seqs[i]) for i in retry])
         ):
@@ -422,6 +519,7 @@ class DeviceOverlapEngine:
                 fallback += 1
                 self.fallback_triggers["long_read"] += 1
             long_pool.shutdown()
+        phases["retry"] = _time.perf_counter() - _t0
         if fallback:
             logger.debug(
                 "device path: %d/%d rows fell back to host (%s)",
@@ -429,4 +527,6 @@ class DeviceOverlapEngine:
                 n,
                 dict(self.fallback_triggers),
             )
+        logger.debug("device path phases: %s", {k: round(v, 2) for k, v in phases.items()})
+        self.last_phases = phases
         return BatchCounts(counts, had, fallback)

@@ -173,6 +173,75 @@ def map_batch_core(
         )
         occ = jnp.where(q_drop, 0, occ)
 
+    mps = mpos * 2 + mstrand
+    return _expand_sort_chain(
+        start,
+        occ,
+        mps,
+        qlen,
+        qdualrank,
+        qselfrid,
+        idx_rid,
+        idx_pos,
+        idx_strand,
+        idx_rank,
+        chn_pen_gap,
+        k=k,
+        max_gap=max_gap,
+        bw=bw,
+        min_score=min_score,
+        num_anchors=num_anchors,
+        window=window,
+        no_dual=no_dual,
+        no_diag=no_diag,
+        max_chain_skip=max_chain_skip,
+        packed_pos=packed_pos,
+        use_pallas=use_pallas,
+        pallas_block=pallas_block,
+        pallas_interpret=pallas_interpret,
+    )
+
+
+def _expand_sort_chain(
+    start,  # [B, M] int32: first posting index per minimizer
+    occ,  # [B, M] int32: posting count per minimizer (0 = none)
+    mps,  # [B, M] int32: query end-pos*2 | strand
+    qlen,
+    qdualrank,
+    qselfrid,
+    idx_rid,
+    idx_pos,
+    idx_strand,
+    idx_rank,
+    chn_pen_gap,
+    *,
+    k,
+    max_gap,
+    bw,
+    min_score,
+    num_anchors,
+    window,
+    no_dual,
+    no_diag,
+    max_chain_skip,
+    packed_pos,
+    use_pallas,
+    pallas_block,
+    pallas_interpret,
+    with_spans=False,
+    min_cnt=3,
+):
+    """Anchor expansion + (rid,strand,rpos) sort + chain DP + reduce.
+
+    Shared tail of the device pipeline: callers provide the per-query
+    posting ranges however they were looked up (inline dictionary in
+    ``map_batch_core``; precomputed ``found`` planes in
+    ``map_found_core``)."""
+    B, M = occ.shape
+    N = idx_rid.shape[0]
+    A = num_anchors
+    W = window
+
     # ---- 2. anchor expansion ----
     # gathers dominate this pipeline on TPU (measured: take_along over
     # [B,A] ~18ns/elem), so the per-anchor minimizer attributes are
@@ -182,14 +251,24 @@ def map_batch_core(
     cum = jnp.cumsum(occ, axis=1)
     total = cum[:, -1]
     slots = jnp.arange(A, dtype=jnp.int32)
-    m_idx = jax.vmap(lambda c: jnp.searchsorted(c, slots, side="right"))(cum)
-    m_idx = jnp.minimum(m_idx, M - 1).astype(jnp.int32)
+    # anchor slot -> minimizer id via scatter + prefix-max instead of a
+    # searchsorted (which lowers to log2(M) take_along gathers; measured
+    # 0.47s of a 0.95s dispatch on v5e).  Valid minimizers have strictly
+    # increasing prev_cum, so the scatter is collision-free; cummax
+    # fills each [prev_cum, cum) range with its minimizer id.
+    prev_cum = cum - occ
+    mvals = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+    live = (occ > 0) & (prev_cum < A)
+    tgt = jnp.where(live, prev_cum, 0)
+    val = jnp.where(live, mvals, -1)
+    mark = jnp.full((B, A), -1, jnp.int32)
+    mark = mark.at[jnp.arange(B, dtype=jnp.int32)[:, None], tgt].max(val)
+    m_idx = jnp.maximum(jax.lax.cummax(mark, axis=1), 0)
     valid = slots[None, :] < jnp.minimum(total, A)[:, None]
     # p_idx = start[m] + (slot - (cum[m] - occ[m])) = slot + adj[m]
     adj = start - cum + occ
     p_idx = slots[None, :] + jnp.take_along_axis(adj, m_idx, axis=1)
     p_idx = jnp.clip(p_idx, 0, max(N - 1, 0))
-    mps = mpos * 2 + mstrand
 
     rid = jnp.where(valid, idx_rid[p_idx], IMAX)
     if packed_pos:
@@ -202,9 +281,17 @@ def map_batch_core(
     mps_a = jnp.take_along_axis(mps, m_idx, axis=1)
     qstr = mps_a & 1
     strand = jnp.where(valid, tstrand ^ qstr, 0)
-    mq = mps_a >> 1
-    qpos_fwd = mq
-    qpos_rev = qlen[:, None] - mq + (k - 2)
+    if with_spans:
+        # HPC presets: per-minimizer span packed as pos<<9 | span<<1 | strand
+        span_a = (mps_a >> 1) & 255
+        mq = mps_a >> 9
+        qpos_fwd = mq
+        qpos_rev = qlen[:, None] - mq + span_a - 2
+    else:
+        span_a = None
+        mq = mps_a >> 1
+        qpos_fwd = mq
+        qpos_rev = qlen[:, None] - mq + (k - 2)
     qpos = jnp.where(strand == 0, qpos_fwd, qpos_rev)
 
     # ---- masks (MM_F_NO_DUAL / no-diag, aligner.rs:89-103) ----
@@ -226,6 +313,9 @@ def map_batch_core(
 
     rid = jnp.where(valid, rid, IMAX)
     key2 = jnp.where(valid, rid * 2 + strand, IMAX)
+    if with_spans:
+        # carry the span through the sort inside the qpos payload
+        qpos = (qpos << 8) | span_a
 
     # ---- sort by (rid,strand,rpos), stable in seed order ----
     key2_s, rpos_s, qpos_s, rid_s = jax.lax.sort(
@@ -234,7 +324,7 @@ def map_batch_core(
     valid_s = key2_s != IMAX
 
     # ---- 3. chaining DP ----
-    if use_pallas:
+    if use_pallas and not with_spans:
         # Pallas kernel: same semantics, DP state in vector registers,
         # loop bounded by the block's real anchor count (see
         # ops/chain_pallas.py); the XLA scan below remains the CPU-
@@ -286,16 +376,25 @@ def map_batch_core(
     def pair_sc(ck, cr, cq, pk, pr, pq, pf, pok):
         """(cand, ok) of transitioning from predecessors p* to current c*.
 
-        Shapes broadcast: current [B, 1] or [B], predecessors [B, W']."""
-        dq = cq - pq
+        Shapes broadcast: current [B, 1] or [B], predecessors [B, W'].
+        With spans, cq/pq carry ``qpos<<8 | span`` and the score uses
+        the PREDECESSOR's span (minimap2 ``comput_sc``: min(dg, q_span
+        of j))."""
+        if with_spans:
+            cqp, pqp = cq >> 8, pq >> 8
+            psp = pq & 255
+        else:
+            cqp, pqp = cq, pq
+            psp = span
+        dq = cqp - pqp
         dr = cr - pr
         dd = jnp.abs(dr - dq)
         dg = jnp.minimum(dq, dr)
-        sc = jnp.minimum(dg, span)
+        sc = jnp.minimum(dg, psp)
         lin = pen_gap * dd.astype(jnp.float32)
         logp = jnp.where(dd >= 1, mg_log2_jax((dd + 1).astype(jnp.float32)), 0.0)
         pen = (lin + jnp.float32(0.5) * logp).astype(jnp.int32)
-        sc = jnp.where((dd != 0) | (dg > span), sc - pen, sc)
+        sc = jnp.where((dd != 0) | (dg > psp), sc - pen, sc)
         ok = (
             pok
             & (pk == ck)
@@ -310,8 +409,9 @@ def map_batch_core(
     dpos = jnp.arange(W, dtype=jnp.int32)
 
     def step(carry, xs):
-        ring_key, ring_rpos, ring_qpos, ring_f, ring_ok, ring_p = carry
+        ring_key, ring_rpos, ring_qpos, ring_f, ring_ok, ring_p, ring_cnt = carry
         ck, cr, cq, cv, islot = xs  # each [B]
+        cspan = (cq & 255) if with_spans else span
         cand, ok = pair_sc(
             ck[:, None], cr[:, None], cq[:, None],
             ring_key, ring_rpos, ring_qpos, ring_f, ring_ok,
@@ -334,7 +434,9 @@ def map_batch_core(
         runmax_excl = jnp.concatenate(
             [jnp.full((B, 1), NEG, jnp.int32), cmax[:, :-1]], axis=1
         )
-        runmax_excl = jnp.maximum(runmax_excl, span)
+        runmax_excl = jnp.maximum(
+            runmax_excl, cspan[:, None] if with_spans else span
+        )
         improving = ok & (cand > runmax_excl)
         # Lindley skip counter and break position
         a_step = (ok & marked & ~improving).astype(jnp.int32) - improving.astype(
@@ -354,9 +456,19 @@ def map_batch_core(
         best = jnp.max(cand, axis=1)
         # ties keep the first descending position (largest j)
         bestd = jnp.argmax(cand, axis=1).astype(jnp.int32)
-        has_pred = best > span
+        has_pred = best > cspan if with_spans else best > span
         p_t = jnp.where(cv & has_pred, islot - 1 - bestd, -1)
-        f_t = jnp.where(cv, jnp.maximum(span, best), NEG)
+        f_t = jnp.where(cv, jnp.maximum(cspan if with_spans else span, best), NEG)
+        # chain anchor count: 1 + count at the chosen predecessor (the
+        # HPC preset needs the min_cnt gate; constant-span presets imply
+        # it via min_chain_score and skip the bookkeeping)
+        if with_spans:
+            cnt_prev = jnp.sum(
+                jnp.where(dpos[None, :] == bestd[:, None], ring_cnt, 0), axis=1
+            )
+            c_t = jnp.where(cv, jnp.where(has_pred, cnt_prev + 1, 1), 0)
+        else:
+            c_t = cv.astype(jnp.int32)  # unused
         # the scan broke inside the visible window: the result is
         # exact even if the (rid,strand) run extends beyond it
         b_t = overed[:, -1] & cv
@@ -367,8 +479,9 @@ def map_batch_core(
             jnp.concatenate([f_t[:, None], ring_f[:, : W - 1]], axis=1),
             jnp.concatenate([cv[:, None], ring_ok[:, : W - 1]], axis=1),
             jnp.concatenate([p_t[:, None], ring_p[:, : W - 1]], axis=1),
+            jnp.concatenate([c_t[:, None], ring_cnt[:, : W - 1]], axis=1),
         )
-        return new_carry, (f_t, b_t)
+        return new_carry, (f_t, b_t, c_t)
 
     init = (
         jnp.full((B, W), IMAX, dtype=jnp.int32),
@@ -377,19 +490,24 @@ def map_batch_core(
         jnp.full((B, W), NEG, dtype=jnp.int32),
         jnp.zeros((B, W), dtype=bool),
         jnp.full((B, W), -1, dtype=jnp.int32),
+        jnp.zeros((B, W), dtype=jnp.int32),
     )
 
     slots_bc = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (B, A))
     xs = (key2_s.T, rpos_s.T, qpos_s.T, valid_s.T, slots_bc.T)  # [A, B] each
-    _, (f_steps, b_steps) = jax.lax.scan(step, init, xs)  # [A, B]
+    _, (f_steps, b_steps, c_steps) = jax.lax.scan(step, init, xs)  # [A, B]
     f = f_steps.T  # [B, A]
     broke = b_steps.T  # [B, A]
     return _reduce_counts(
-        f, broke, rid_s, key2_s, valid_s, n_anchors, B, A, W, min_score
+        f, broke, rid_s, key2_s, valid_s, n_anchors, B, A, W, min_score,
+        cnt=c_steps.T if with_spans else None, min_cnt=min_cnt,
     )
 
 
-def _reduce_counts(f, broke, rid_s, key2_s, valid_s, n_anchors, B, A, W, min_score):
+def _reduce_counts(
+    f, broke, rid_s, key2_s, valid_s, n_anchors, B, A, W, min_score,
+    cnt=None, min_cnt=3,
+):
     # ---- 4. segmented max over rid runs ----
     boundary = jnp.concatenate(
         [jnp.ones((B, 1), dtype=bool), rid_s[:, 1:] != rid_s[:, :-1]], axis=1
@@ -400,11 +518,33 @@ def _reduce_counts(f, broke, rid_s, key2_s, valid_s, n_anchors, B, A, W, min_sco
         bv, bf = b
         return (jnp.where(bf, bv, jnp.maximum(av, bv)), af | bf)
 
-    seg_f, _ = jax.lax.associative_scan(seg_op, (f, boundary), axis=1)
     run_end = jnp.concatenate(
         [rid_s[:, 1:] != rid_s[:, :-1], jnp.ones((B, 1), dtype=bool)], axis=1
     )
-    passing = run_end & valid_s & (seg_f >= min_score)
+    suspicious = None
+    if cnt is None:
+        seg_f, _ = jax.lax.associative_scan(seg_op, (f, boundary), axis=1)
+        passing = run_end & valid_s & (seg_f >= min_score)
+    else:
+        # HPC presets: a chain must also have >= min_cnt anchors.  The
+        # surviving-intact chain of a run is the one ending at the
+        # best-f anchor (largest slot among f ties, matching the
+        # backtrack peel order), so reduce a packed (f, slot) key and
+        # read that anchor's chain count.  Runs whose best chain passes
+        # the score but fails min_cnt are flagged: a lower secondary
+        # chain might still pass after truncation, which only the exact
+        # host path can decide (vanishingly rare: needs a >=100-base
+        # span from <3 anchors).
+        assert A <= (1 << 14), "packed (f,slot) reduction needs A <= 16384"
+        slots_i = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32), (B, A))
+        packed = jnp.where(valid_s & (f >= 0), ((f + 1) << 14) | slots_i, 0)
+        seg_p, _ = jax.lax.associative_scan(seg_op, (packed, boundary), axis=1)
+        best_f = (seg_p >> 14) - 1
+        best_slot = seg_p & ((1 << 14) - 1)
+        cnt_best = jnp.take_along_axis(cnt, best_slot, axis=1)
+        score_ok = run_end & valid_s & (best_f >= min_score)
+        passing = score_ok & (cnt_best >= min_cnt)
+        suspicious = jnp.any(score_ok & (cnt_best < min_cnt), axis=1)
     counts = jnp.sum(passing, axis=1).astype(jnp.int32)
 
     # passing-target id list per query (for symmetric/pair counting):
@@ -433,7 +573,10 @@ def _reduce_counts(f, broke, rid_s, key2_s, valid_s, n_anchors, B, A, W, min_sco
     run_start, _ = jax.lax.associative_scan(seg_op, (start_candidates, boundary2), axis=1)
     run_depth = jnp.where(valid_s, idxs - run_start, 0)  # predecessors in run
     missed = valid_s & (run_depth > W) & ~broke
-    max_run = jnp.where(jnp.any(missed, axis=1), jnp.int32(W + 1), jnp.int32(0))
+    inexact = jnp.any(missed, axis=1)
+    if suspicious is not None:
+        inexact = inexact | suspicious
+    max_run = jnp.where(inexact, jnp.int32(W + 1), jnp.int32(0))
     return counts, n_anchors, max_run, pair_rids
 
 
@@ -933,3 +1076,476 @@ map_many = functools.partial(
         "pallas_interpret",
     ),
 )(map_many_core)
+
+
+# ---------------------------------------------------------------------------
+# Shared-lookup pipeline: the dictionary lookup and the q_occ filter run
+# ONCE per super-batch inside the sketch program; the per-sub-index map
+# programs receive precomputed ``found`` planes and only gather their
+# own posting ranges.  This removes the dominant per-sub gather cost
+# (measured on v5e: the bucketed lookup is ~60% of a map dispatch).
+# ---------------------------------------------------------------------------
+
+
+def _dict_lookup(mhash, uhash, boff, *, k, bucket_bits, bucket_kmax):
+    """Bucketed dictionary probe: unique-hash slot per minimizer (-1 miss)."""
+    B, M = mhash.shape
+    qk = jax.lax.bitcast_convert_type(mhash ^ jnp.uint32(0x80000000), jnp.int32)
+    hash_bits = 2 * k
+    nb = 1 << bucket_bits
+    ub = jnp.minimum(mhash >> (hash_bits - bucket_bits), jnp.uint32(nb - 1)).astype(
+        jnp.int32
+    )
+    b0 = boff[ub]
+    b1 = boff[ub + 1]
+    U = uhash.shape[0]
+    found = jnp.full((B, M), -1, dtype=jnp.int32)
+    for j in range(bucket_kmax):
+        pos = b0 + j
+        ok = pos < b1
+        val = uhash[jnp.minimum(pos, U - 1)]
+        found = jnp.where(ok & (val == qk), pos, found)
+    return found
+
+
+def sketch_lookup_core(
+    codes,  # [B, L] uint8
+    lengths,  # [B] int32
+    uhash,  # [U] int32 transformed unique hashes (sorted)
+    uoff,  # [U+1] int32 global posting offsets
+    boff,  # [2^bits+1] int32 bucket offsets
+    mid_occ,  # scalar int32
+    *,
+    k,
+    w,
+    bucket_bits,
+    bucket_kmax,
+    q_occ_frac,
+):
+    """Sketch + index lookup + seed filters in one program.
+
+    Returns ``(found [B,M] int32, mps [B,M] int32, mcount [B] int32)``:
+    ``found`` is the unique-hash slot of each minimizer with every seed
+    filter already applied (-1 = no anchors: miss, padding, occurrence
+    cutoff, or the mm_seed_mz_flt q_occ drop); ``mps`` packs the query
+    end position and strand.
+    """
+    from .sketch_jax import sketch_core
+
+    M = minimizer_cap(codes.shape[1])
+    mhash, mpos, mstrand, mcount = sketch_core(
+        codes, lengths, k=k, w=w, max_minimizers=M
+    )
+    B = codes.shape[0]
+    found = _dict_lookup(
+        mhash, uhash, boff, k=k, bucket_bits=bucket_bits, bucket_kmax=bucket_kmax
+    )
+    fc = jnp.maximum(found, 0)
+    occg = jnp.where(found >= 0, uoff[fc + 1] - uoff[fc], 0).astype(jnp.int32)
+    gate = (found >= 0) & (occg > 0) & (occg <= mid_occ)
+    gate = gate & (mhash != jnp.uint32(0xFFFFFFFF))
+
+    # mm_seed_mz_flt (q_occ filter), same formulation as map_batch_core
+    if q_occ_frac > 0:
+        slot_ids = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+        sh, sslot = jax.lax.sort(
+            (mhash, slot_ids), dimension=1, num_keys=1, is_stable=True
+        )
+        newrun = jnp.concatenate(
+            [jnp.ones((B, 1), dtype=bool), sh[:, 1:] != sh[:, :-1]], axis=1
+        )
+        pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+
+        def seg_keep(a, b):
+            av, af = a
+            bv, bf = b
+            return (jnp.where(bf, bv, av), af | bf)
+
+        run_start, _ = jax.lax.associative_scan(
+            seg_keep, (jnp.where(newrun, pos, 0), newrun), axis=1
+        )
+        runend_flag = jnp.concatenate(
+            [sh[:, 1:] != sh[:, :-1], jnp.ones((B, 1), dtype=bool)], axis=1
+        )
+        run_end, _ = jax.lax.associative_scan(
+            seg_keep, (jnp.where(runend_flag, pos, 0), runend_flag), axis=1, reverse=True
+        )
+        run_cnt = run_end - run_start + 1
+        _, cnt_by_slot = jax.lax.sort(
+            (sslot, run_cnt), dimension=1, num_keys=1, is_stable=True
+        )
+        n_mini = jnp.sum(mhash != jnp.uint32(0xFFFFFFFF), axis=1).astype(jnp.int32)
+        q_drop = (
+            (n_mini[:, None] > mid_occ)
+            & (cnt_by_slot > mid_occ)
+            & (
+                cnt_by_slot.astype(jnp.float32)
+                > n_mini[:, None].astype(jnp.float32) * jnp.float32(q_occ_frac)
+            )
+        )
+        gate = gate & ~q_drop
+
+    found = jnp.where(gate, found, -1)
+    mps = mpos * 2 + mstrand
+    return found, mps, mcount
+
+
+def sketch_lookup_many_core(
+    codes, lengths, uhash, uoff, boff, mid_occ, *, k, w, bucket_bits, bucket_kmax,
+    q_occ_frac,
+):
+    def body(args):
+        c, ln = args
+        return sketch_lookup_core(
+            c, ln, uhash, uoff, boff, mid_occ,
+            k=k, w=w, bucket_bits=bucket_bits, bucket_kmax=bucket_kmax,
+            q_occ_frac=q_occ_frac,
+        )
+
+    return jax.lax.map(body, (codes, lengths))
+
+
+sketch_lookup_many = functools.partial(
+    jax.jit,
+    static_argnames=("k", "w", "bucket_bits", "bucket_kmax", "q_occ_frac"),
+)(sketch_lookup_many_core)
+
+
+def map_found_core(
+    found,  # [B, M] int32 (-1 = no anchors)
+    mps,  # [B, M] int32
+    qlen,
+    qdualrank,
+    qselfrid,
+    lo_plane,  # [U] int32: this sub-index's posting range start per unique
+    hi_plane,  # [U] int32: .. end
+    idx_rid,
+    idx_pos,
+    idx_strand,
+    idx_rank,
+    chn_pen_gap,
+    *,
+    k,
+    max_gap,
+    bw,
+    min_score,
+    num_anchors,
+    window,
+    no_dual,
+    no_diag,
+    max_chain_skip,
+    packed_pos,
+    use_pallas,
+    pallas_block,
+    pallas_interpret,
+    with_spans=False,
+    min_cnt=3,
+):
+    fc = jnp.maximum(found, 0)
+    lo = lo_plane[fc]
+    hi = hi_plane[fc]
+    occ = jnp.where(found >= 0, hi - lo, 0).astype(jnp.int32)
+    return _expand_sort_chain(
+        lo,
+        occ,
+        mps,
+        qlen,
+        qdualrank,
+        qselfrid,
+        idx_rid,
+        idx_pos,
+        idx_strand,
+        idx_rank,
+        chn_pen_gap,
+        k=k,
+        max_gap=max_gap,
+        bw=bw,
+        min_score=min_score,
+        num_anchors=num_anchors,
+        window=window,
+        no_dual=no_dual,
+        no_diag=no_diag,
+        max_chain_skip=max_chain_skip,
+        packed_pos=packed_pos,
+        use_pallas=use_pallas,
+        pallas_block=pallas_block,
+        pallas_interpret=pallas_interpret,
+        with_spans=with_spans,
+        min_cnt=min_cnt,
+    )
+
+
+def map_found_many_core(
+    found,  # [NB, B, M]
+    mps,
+    qlen,  # [NB, B]
+    qdualrank,
+    qselfrid,
+    lo_plane,
+    hi_plane,
+    idx_rid,
+    idx_pos,
+    idx_strand,
+    idx_rank,
+    chn_pen_gap,
+    *,
+    k,
+    max_gap,
+    bw,
+    min_score,
+    num_anchors,
+    window,
+    no_dual,
+    no_diag,
+    max_chain_skip,
+    packed_pos,
+    use_pallas,
+    pallas_block,
+    pallas_interpret,
+    with_spans=False,
+    min_cnt=3,
+):
+    def body(args):
+        fo, mp, ql, qd, qs = args
+        return map_found_core(
+            fo, mp, ql, qd, qs, lo_plane, hi_plane,
+            idx_rid, idx_pos, idx_strand, idx_rank, chn_pen_gap,
+            k=k, max_gap=max_gap, bw=bw, min_score=min_score,
+            num_anchors=num_anchors, window=window, no_dual=no_dual,
+            no_diag=no_diag, max_chain_skip=max_chain_skip,
+            packed_pos=packed_pos, use_pallas=use_pallas,
+            pallas_block=pallas_block, pallas_interpret=pallas_interpret,
+            with_spans=with_spans, min_cnt=min_cnt,
+        )
+
+    return jax.lax.map(body, (found, mps, qlen, qdualrank, qselfrid))
+
+
+map_found_many = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "max_gap", "bw", "min_score", "num_anchors", "window",
+        "no_dual", "no_diag", "max_chain_skip", "packed_pos",
+        "use_pallas", "pallas_block", "pallas_interpret",
+        "with_spans", "min_cnt",
+    ),
+)(map_found_many_core)
+
+
+@dataclass
+class GroupedDeviceIndex:
+    """Device index with postings grouped by (key, sub) for shared lookup.
+
+    Postings are ordered by (minimizer key, ``rid % n_sub``, rid, pos);
+    each sub-index is the complete posting set of its targets, so
+    per-sub counts are disjoint and sum to the full-index counts, while
+    the unique-hash dictionary (``uhash``/``boff``) is GLOBAL and probed
+    once per query batch.  ``lo``/``hi`` [S, U] give each sub's posting
+    range per unique hash.
+    """
+
+    rid: jnp.ndarray  # [N] int32
+    pos: jnp.ndarray  # [N] int32 (pos<<1 | strand)
+    rank: jnp.ndarray  # [T] int32
+    mid_occ: int
+    uhash: jnp.ndarray  # [U] int32 (narrow keys; hi plane when wide)
+    uoff: jnp.ndarray  # [U+1] int32
+    boff: jnp.ndarray
+    lo: list  # n_sub device arrays [U] int32
+    hi: list
+    bucket_bits: int
+    bucket_kmax: int
+    n_sub: int
+    uhash_lo: jnp.ndarray = None  # wide keys: low 19-bit plane
+    wide: bool = False
+
+    @classmethod
+    def from_host(cls, index, n_sub: int, bucket_bits: int = 22) -> "GroupedDeviceIndex":
+        keys, rid, pos, strand = _pruned_postings(index)
+        N = len(keys)
+        if N == 0:
+            return None
+        wide = 2 * index.params.k > 31
+        sub = (rid % n_sub).astype(np.int64)
+        if wide:
+            keys32 = None
+            ustart = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+        else:
+            keys32 = (keys.astype(np.uint32) ^ np.uint32(0x80000000)).view(np.int32)
+            ustart = np.flatnonzero(
+                np.concatenate(([True], keys32[1:] != keys32[:-1]))
+            )
+        U = len(ustart)
+        uoff = np.concatenate([ustart, [N]]).astype(np.int32)
+        run_u = np.repeat(np.arange(U, dtype=np.int64), np.diff(uoff))
+        # group by sub within each key run, preserving (rid, pos) order
+        order = np.lexsort((sub, run_u))
+        rid_g = rid[order].astype(np.int32)
+        pos_g = ((pos[order].astype(np.int32)) << 1) | strand[order].astype(np.int32)
+        sub_g = sub[order]
+        # per-(unique, sub) cumulative offsets
+        counts = np.zeros((U, n_sub), dtype=np.int32)
+        np.add.at(counts, (run_u, sub_g), 1)
+        csum = np.concatenate(
+            [np.zeros((U, 1), np.int32), np.cumsum(counts, axis=1, dtype=np.int32)],
+            axis=1,
+        )
+        soff = csum + uoff[:-1, None]  # [U, S+1] absolute
+        hash_bits = 2 * index.params.k
+        if wide:
+            uh_u = keys[ustart].astype(np.uint64)
+            uh_planes = (
+                (uh_u >> np.uint64(_PB_SPLIT)).astype(np.int32),
+                (uh_u & np.uint64(_PB_LOMASK)).astype(np.int32),
+            )
+        else:
+            uh = keys32[ustart]
+            uh_u = (uh.view(np.uint32) ^ np.uint32(0x80000000)).astype(np.uint64)
+            uh_planes = (uh, None)
+        # bucketed dictionary over the global uniques
+        kmax = 8
+        if bucket_bits > 0 and hash_bits > bucket_bits and U:
+            ub = (uh_u >> np.uint64(hash_bits - bucket_bits)).astype(np.int64)
+            nb = 1 << bucket_bits
+            boff = np.zeros(nb + 1, dtype=np.int32)
+            np.add.at(boff, ub + 1, 1)
+            np.cumsum(boff, out=boff)
+            kmax = max(4, int(np.max(np.diff(boff))))
+            if kmax > 16:
+                bucket_bits = 0
+                boff = np.zeros(1, dtype=np.int32)
+        else:
+            bucket_bits = 0
+            boff = np.zeros(1, dtype=np.int32)
+        if wide and bucket_bits == 0:
+            # the wide lookup has no binary-search fallback
+            return None
+        return cls(
+            rid=jnp.asarray(rid_g),
+            pos=jnp.asarray(pos_g),
+            rank=jnp.asarray(index.name_rank.astype(np.int32)),
+            mid_occ=int(index.mid_occ),
+            uhash=jnp.asarray(uh_planes[0]),
+            uoff=jnp.asarray(uoff),
+            boff=jnp.asarray(boff),
+            lo=[jnp.asarray(soff[:, s].copy()) for s in range(n_sub)],
+            hi=[jnp.asarray(soff[:, s + 1].copy()) for s in range(n_sub)],
+            bucket_bits=bucket_bits,
+            bucket_kmax=kmax,
+            n_sub=n_sub,
+            uhash_lo=None if uh_planes[1] is None else jnp.asarray(uh_planes[1]),
+            wide=wide,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Wide-key (PacBio/HPC) lookup: 2k = 38-bit hashes split into two int32
+# planes (hi = hash >> 19, lo = hash & 0x7FFFF).  The query minimizers
+# are sketched on the HOST (the native kernel is exact for HPC spans
+# and loop quirks), so the device work is lookup + map only.
+# ---------------------------------------------------------------------------
+
+_PB_SPLIT = 19
+_PB_LOMASK = (1 << _PB_SPLIT) - 1
+
+
+def pb_lookup_core(
+    qhi,  # [B, M] int32 (-1 padding)
+    qlo,  # [B, M] int32
+    uh_hi,  # [U] int32
+    uh_lo,  # [U] int32
+    uoff,  # [U+1] int32
+    boff,
+    mid_occ,
+    *,
+    hash_bits,
+    bucket_bits,
+    bucket_kmax,
+    q_occ_frac,
+):
+    B, M = qhi.shape
+    pad = qhi < 0
+    shift = hash_bits - bucket_bits
+    if shift >= _PB_SPLIT:
+        ub = qhi >> (shift - _PB_SPLIT)
+    else:
+        ub = (qhi << (_PB_SPLIT - shift)) | (qlo >> shift)
+    ub = jnp.clip(ub, 0, (1 << bucket_bits) - 1)
+    b0 = boff[ub]
+    b1 = boff[ub + 1]
+    U = uh_hi.shape[0]
+    found = jnp.full((B, M), -1, dtype=jnp.int32)
+    for j in range(bucket_kmax):
+        pos = b0 + j
+        ok = pos < b1
+        pc = jnp.minimum(pos, U - 1)
+        hit = ok & (uh_hi[pc] == qhi) & (uh_lo[pc] == qlo)
+        found = jnp.where(hit, pos, found)
+    fc = jnp.maximum(found, 0)
+    occg = jnp.where(found >= 0, uoff[fc + 1] - uoff[fc], 0).astype(jnp.int32)
+    gate = (found >= 0) & ~pad & (occg > 0) & (occg <= mid_occ)
+
+    if q_occ_frac > 0:
+        # within-query occurrence counts over the two-plane hash
+        slot_ids = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+        shi = jnp.where(pad, IMAX, qhi)
+        slo = jnp.where(pad, IMAX, qlo)
+        shi_s, slo_s, sslot = jax.lax.sort(
+            (shi, slo, slot_ids), dimension=1, num_keys=2, is_stable=True
+        )
+        samerun = (shi_s[:, 1:] == shi_s[:, :-1]) & (slo_s[:, 1:] == slo_s[:, :-1])
+        newrun = jnp.concatenate([jnp.ones((B, 1), dtype=bool), ~samerun], axis=1)
+        pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+
+        def seg_keep(a, b):
+            av, af = a
+            bv, bf = b
+            return (jnp.where(bf, bv, av), af | bf)
+
+        run_start, _ = jax.lax.associative_scan(
+            seg_keep, (jnp.where(newrun, pos, 0), newrun), axis=1
+        )
+        runend_flag = jnp.concatenate(
+            [~samerun, jnp.ones((B, 1), dtype=bool)], axis=1
+        )
+        run_end, _ = jax.lax.associative_scan(
+            seg_keep, (jnp.where(runend_flag, pos, 0), runend_flag), axis=1,
+            reverse=True,
+        )
+        run_cnt = run_end - run_start + 1
+        _, cnt_by_slot = jax.lax.sort(
+            (sslot, run_cnt), dimension=1, num_keys=1, is_stable=True
+        )
+        n_mini = jnp.sum(~pad, axis=1).astype(jnp.int32)
+        q_drop = (
+            (n_mini[:, None] > mid_occ)
+            & (cnt_by_slot > mid_occ)
+            & (
+                cnt_by_slot.astype(jnp.float32)
+                > n_mini[:, None].astype(jnp.float32) * jnp.float32(q_occ_frac)
+            )
+        )
+        gate = gate & ~q_drop
+
+    return jnp.where(gate, found, -1)
+
+
+def pb_lookup_many_core(
+    qhi, qlo, uh_hi, uh_lo, uoff, boff, mid_occ, *, hash_bits, bucket_bits,
+    bucket_kmax, q_occ_frac,
+):
+    def body(args):
+        hi, lo = args
+        return pb_lookup_core(
+            hi, lo, uh_hi, uh_lo, uoff, boff, mid_occ,
+            hash_bits=hash_bits, bucket_bits=bucket_bits,
+            bucket_kmax=bucket_kmax, q_occ_frac=q_occ_frac,
+        )
+
+    return jax.lax.map(body, (qhi, qlo))
+
+
+pb_lookup_many = functools.partial(
+    jax.jit,
+    static_argnames=("hash_bits", "bucket_bits", "bucket_kmax", "q_occ_frac"),
+)(pb_lookup_many_core)

@@ -136,9 +136,14 @@ class AvaStrategy(Estimate):
         mapper.close()
 
         no_mapping_count = 0
-        estimates = np.empty(len(ovlap_counter), dtype=np.float32)
+        estimates = np.empty(len(read_lengths), dtype=np.float32)
         avg_read_len = float(np.float32(sum_len) / np.float32(self.num_reads - 1))
-        for i, (rid_name, n_ovlaps) in enumerate(ovlap_counter.items()):
+        # iterate in subsample (file) order: the reference walks a
+        # HashMap here (arbitrary order; order does not affect the
+        # median), but a deterministic order makes the TRACE per-read
+        # estimate log diffable across runs and engines
+        for i, rid_name in enumerate(read_lengths):
+            n_ovlaps = ovlap_counter.get(rid_name, 0)
             if n_ovlaps == 0:
                 no_mapping_count += 1
                 logger.debug("No overlaps found for read: %s", rid_name)
@@ -207,8 +212,10 @@ class AvaStrategy(Estimate):
         no_mapping_count = 0
         overlap_threshold = engine.params.min_chain_score
         avg_read_len = float(np.float32(sum_len) / np.float32(self.num_reads - 1))
-        estimates = np.empty(len(ovlap_counter), dtype=np.float32)
-        for i, (rid_name, n_ovlaps) in enumerate(ovlap_counter.items()):
+        estimates = np.empty(len(read_lengths), dtype=np.float32)
+        # subsample (file) order, matching the host path's TRACE order
+        for i, rid_name in enumerate(read_lengths):
+            n_ovlaps = ovlap_counter.get(rid_name, 0)
             if n_ovlaps == 0:
                 no_mapping_count += 1
                 est = float("inf")
@@ -220,6 +227,7 @@ class AvaStrategy(Estimate):
                     n_ovlaps,
                     overlap_threshold,
                 )
+            logger.log(TRACE, "Estimate for %s: %s", rid_name.decode("utf-8", "replace"), est)
             estimates[i] = est
         if no_mapping_count > 0:
             pct = no_mapping_count / self.num_reads * 100.0

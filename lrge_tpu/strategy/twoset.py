@@ -226,6 +226,11 @@ class TwoSetStrategy(Estimate):
             res.counts,
             engine.params.min_chain_score,
         )
+        if logger.isEnabledFor(TRACE):
+            for (qname, _), est in zip(queries, estimates):
+                logger.log(
+                    TRACE, "Estimate for %s: %s", qname.decode("utf-8", "replace"), est
+                )
         self._log_no_mapping(no_mapping_count, len(queries))
         return estimates.astype(np.float32), no_mapping_count
 

@@ -87,14 +87,48 @@ class TestDeviceVsHost:
             hc, _ = host.count_overlaps(qnames[i], queries[i])
             assert res.counts[i] == hc
 
-    def test_pacbio_routes_to_host(self, corpus):
+    def test_pacbio_device_counts_match(self, corpus):
+        # HPC preset on device: host-sketched 38-bit hash planes,
+        # span-aware chain DP with the min_cnt gate
         targets, tnames, queries, qnames = corpus
         params = preset_for(Platform.PACBIO, dual=True)
-        index = build_index(targets[:30], tnames[:30], params)
-        dev = DeviceOverlapEngine(index)
-        assert not dev.device_ok
-        res = dev.count_batch(qnames[:5], queries[:5])
+        index = build_index(targets[:60], tnames[:60], params)
+        dev = DeviceOverlapEngine(index, batch_size=8, num_anchors=1024, window=64)
+        from lrge_tpu.native import native
+
+        if native is None:
+            assert not dev.device_ok
+            pytest.skip("native sketcher unavailable")
+        assert dev.device_ok and dev.pb_mode
+        res = dev.count_batch(qnames[:16], queries[:16])
         host = OverlapEngine(index)
-        for i in range(5):
+        for i in range(16):
+            hc, hh = host.count_overlaps(qnames[i], queries[i])
+            assert res.counts[i] == hc, f"query {i}: device {res.counts[i]} host {hc}"
+            assert bool(res.had_mapping[i]) == bool(hh)
+
+    def test_pacbio_device_homopolymer_corpus(self):
+        # homopolymer-rich genome: HPC compression and variable spans do
+        # real work; counts must still match the exact host engine
+        rng = np.random.default_rng(97)
+        parts = []
+        for _ in range(3000):
+            base = rng.choice(list(b"ACGT"))
+            parts.append(bytes([base]) * int(rng.integers(1, 8)))
+        genome = b"".join(parts)
+        targets = make_reads(rng, genome, 50, 1800, err=0.05)
+        tnames = [f"h{i}".encode() for i in range(50)]
+        queries = make_reads(rng, genome, 12, 2000, err=0.05)
+        qnames = [f"hq{i}".encode() for i in range(12)]
+        params = preset_for(Platform.PACBIO, dual=True)
+        index = build_index(targets, tnames, params)
+        dev = DeviceOverlapEngine(index, batch_size=8, num_anchors=1024, window=64)
+        from lrge_tpu.native import native
+
+        if native is None:
+            pytest.skip("native sketcher unavailable")
+        res = dev.count_batch(qnames, queries)
+        host = OverlapEngine(index)
+        for i in range(12):
             hc, _ = host.count_overlaps(qnames[i], queries[i])
-            assert res.counts[i] == hc
+            assert res.counts[i] == hc, f"query {i}: device {res.counts[i]} host {hc}"
