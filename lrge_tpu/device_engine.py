@@ -44,7 +44,7 @@ logger = logging.getLogger("lrge")
 # separate set of compiled programs with anchor capacity scaled by
 # bucket length, so typical long-read length distributions (ONT tails
 # beyond 4 kb) stay on device.
-LENGTH_BUCKETS = (4096, 16384)
+LENGTH_BUCKETS = (4096, 8192, 16384)
 
 
 @dataclass
@@ -444,6 +444,7 @@ class DeviceOverlapEngine:
                             pallas_interpret=self.pallas_interpret,
                             with_spans=self.pb_mode,
                             min_cnt=p.min_cnt,
+                            want_pairs=collect_pairs is not None,
                         )
                     )
                 inflight.append((nb, B, A, codes, lengths, ids, mcount_d, subs))

@@ -230,6 +230,7 @@ def _expand_sort_chain(
     pallas_interpret,
     with_spans=False,
     min_cnt=3,
+    want_pairs=True,
 ):
     """Anchor expansion + (rid,strand,rpos) sort + chain DP + reduce.
 
@@ -251,23 +252,42 @@ def _expand_sort_chain(
     cum = jnp.cumsum(occ, axis=1)
     total = cum[:, -1]
     slots = jnp.arange(A, dtype=jnp.int32)
-    # anchor slot -> minimizer id via scatter + prefix-max instead of a
-    # searchsorted (which lowers to log2(M) take_along gathers; measured
-    # 0.47s of a 0.95s dispatch on v5e).  Valid minimizers have strictly
-    # increasing prev_cum, so the scatter is collision-free; cummax
-    # fills each [prev_cum, cum) range with its minimizer id.
+    # Per-anchor minimizer attributes WITHOUT a searchsorted or any
+    # [B,A]<-[B,M] take_along (each lowers to slow gathers; measured
+    # 0.47s + 2x0.076s of a 0.95s dispatch on v5e): scatter each live
+    # minimizer's ``adj`` (posting-offset arithmetic folded into one
+    # i32) and ``mps`` (query pos/strand) to its first anchor slot —
+    # live minimizers have strictly increasing prev_cum, so the scatter
+    # is collision-free — then fill each [prev_cum, cum) range with a
+    # log-depth fill-forward.
     prev_cum = cum - occ
-    mvals = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
     live = (occ > 0) & (prev_cum < A)
     tgt = jnp.where(live, prev_cum, 0)
-    val = jnp.where(live, mvals, -1)
-    mark = jnp.full((B, A), -1, jnp.int32)
-    mark = mark.at[jnp.arange(B, dtype=jnp.int32)[:, None], tgt].max(val)
-    m_idx = jnp.maximum(jax.lax.cummax(mark, axis=1), 0)
-    valid = slots[None, :] < jnp.minimum(total, A)[:, None]
-    # p_idx = start[m] + (slot - (cum[m] - occ[m])) = slot + adj[m]
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
     adj = start - cum + occ
-    p_idx = slots[None, :] + jnp.take_along_axis(adj, m_idx, axis=1)
+    MIN32 = np.iinfo(np.int32).min
+    sc_set = jnp.zeros((B, A), dtype=bool).at[rows, tgt].max(live)
+    # collision-free: only lane `tgt` of a live minimizer is touched
+    # (non-live lanes scatter MIN32 into slot 0, which max() discards
+    # against the MIN32 initial value and sc_set marks unset anyway)
+    sc_adj = jnp.full((B, A), MIN32, jnp.int32).at[rows, tgt].max(
+        jnp.where(live, adj, MIN32)
+    )
+    sc_mps = jnp.full((B, A), MIN32, jnp.int32).at[rows, tgt].max(
+        jnp.where(live, mps, MIN32)
+    )
+
+    def ffill(a, b):
+        (av, am), (bv, bm) = a, b
+        return (jnp.where(bm, bv, av), am | bm)
+
+    (adj_f, _), (mps_f, _) = jax.lax.associative_scan(
+        lambda x, y: (ffill(x[0], y[0]), ffill(x[1], y[1])),
+        ((sc_adj, sc_set), (sc_mps, sc_set)),
+        axis=1,
+    )
+    valid = slots[None, :] < jnp.minimum(total, A)[:, None]
+    p_idx = slots[None, :] + adj_f
     p_idx = jnp.clip(p_idx, 0, max(N - 1, 0))
 
     rid = jnp.where(valid, idx_rid[p_idx], IMAX)
@@ -278,7 +298,7 @@ def _expand_sort_chain(
     else:
         rpos = jnp.where(valid, idx_pos[p_idx], 0)
         tstrand = idx_strand[p_idx]
-    mps_a = jnp.take_along_axis(mps, m_idx, axis=1)
+    mps_a = mps_f
     qstr = mps_a & 1
     strand = jnp.where(valid, tstrand ^ qstr, 0)
     if with_spans:
@@ -350,7 +370,8 @@ def _expand_sort_chain(
         )
         broke = broke_i != 0
         return _reduce_counts(
-            f, broke, rid_s, key2_s, valid_s, n_anchors, B, A, W, min_score
+            f, broke, rid_s, key2_s, valid_s, n_anchors, B, A, W, min_score,
+            want_pairs=want_pairs,
         )
     # single-anchor scan: one anchor of all B queries per step, with a
     # W-deep newest-first predecessor ring in the carry.  (An unrolled
@@ -420,10 +441,26 @@ def _expand_sort_chain(
         # p_rel = islot-1-p maps link targets to descending positions;
         # p < slot(x) always, so p_rel[d'] > d' and no triangle mask
         # is needed.  p == -1 maps to islot (>= W), never matching.
+        # Bit-packed one-hot votes OR-reduced over the ring axis keep
+        # the step at [B, W] instead of materialising a [B, W, W]
+        # one-hot every scan iteration.
         p_rel = islot[:, None] - 1 - ring_p  # [B, W]
-        marked = jnp.any(
-            ok[:, :, None] & (p_rel[:, :, None] == dpos[None, None, :]), axis=1
-        )  # [B, W]
+        marked = jnp.zeros((B, W), dtype=bool)
+        for b0 in range(0, W, 32):
+            sh = p_rel - b0
+            inplane = ok & (sh >= 0) & (sh < 32)
+            vote = jnp.where(
+                inplane,
+                jnp.left_shift(jnp.uint32(1), (sh & 31).astype(jnp.uint32)),
+                jnp.uint32(0),
+            )
+            votes = jax.lax.reduce(vote, np.uint32(0), jax.lax.bitwise_or, (1,))
+            bitidx = dpos[None, :] - b0
+            bit = (
+                jnp.right_shift(votes[:, None], (bitidx & 31).astype(jnp.uint32))
+                & jnp.uint32(1)
+            ) != 0
+            marked = marked | ((bitidx >= 0) & (bitidx < 32) & bit)
         # improving[d]: cand beats the running max of examined
         # predecessors (seeded with span); exclusive cummax suffices
         # because positions after the break never matter.  Native
@@ -501,12 +538,13 @@ def _expand_sort_chain(
     return _reduce_counts(
         f, broke, rid_s, key2_s, valid_s, n_anchors, B, A, W, min_score,
         cnt=c_steps.T if with_spans else None, min_cnt=min_cnt,
+        want_pairs=want_pairs,
     )
 
 
 def _reduce_counts(
     f, broke, rid_s, key2_s, valid_s, n_anchors, B, A, W, min_score,
-    cnt=None, min_cnt=3,
+    cnt=None, min_cnt=3, want_pairs=True,
 ):
     # ---- 4. segmented max over rid runs ----
     boundary = jnp.concatenate(
@@ -549,14 +587,17 @@ def _reduce_counts(
 
     # passing-target id list per query (for symmetric/pair counting):
     # compact passing run-end rids to the front via a stable sort
-    PMAX = 512
-    pk_s, prid = jax.lax.sort(
-        (jnp.where(passing, jnp.arange(A, dtype=jnp.int32)[None, :], IMAX), rid_s),
-        dimension=1,
-        num_keys=1,
-        is_stable=True,
-    )
-    pair_rids = jnp.where(pk_s[:, :PMAX] != IMAX, prid[:, :PMAX], -1)
+    if want_pairs:
+        PMAX = 512
+        pk_s, prid = jax.lax.sort(
+            (jnp.where(passing, jnp.arange(A, dtype=jnp.int32)[None, :], IMAX), rid_s),
+            dimension=1,
+            num_keys=1,
+            is_stable=True,
+        )
+        pair_rids = jnp.where(pk_s[:, :PMAX] != IMAX, prid[:, :PMAX], -1)
+    else:
+        pair_rids = jnp.full((B, 1), -1, jnp.int32)
 
     # window-miss detector: an anchor's DP is exact when its
     # (rid,strand) run fits in the ring (run depth <= W) OR the
@@ -1240,6 +1281,7 @@ def map_found_core(
     pallas_interpret,
     with_spans=False,
     min_cnt=3,
+    want_pairs=True,
 ):
     fc = jnp.maximum(found, 0)
     lo = lo_plane[fc]
@@ -1272,6 +1314,7 @@ def map_found_core(
         pallas_interpret=pallas_interpret,
         with_spans=with_spans,
         min_cnt=min_cnt,
+        want_pairs=want_pairs,
     )
 
 
@@ -1304,6 +1347,7 @@ def map_found_many_core(
     pallas_interpret,
     with_spans=False,
     min_cnt=3,
+    want_pairs=True,
 ):
     def body(args):
         fo, mp, ql, qd, qs = args
@@ -1315,7 +1359,7 @@ def map_found_many_core(
             no_diag=no_diag, max_chain_skip=max_chain_skip,
             packed_pos=packed_pos, use_pallas=use_pallas,
             pallas_block=pallas_block, pallas_interpret=pallas_interpret,
-            with_spans=with_spans, min_cnt=min_cnt,
+            with_spans=with_spans, min_cnt=min_cnt, want_pairs=want_pairs,
         )
 
     return jax.lax.map(body, (found, mps, qlen, qdualrank, qselfrid))
@@ -1327,7 +1371,7 @@ map_found_many = functools.partial(
         "k", "max_gap", "bw", "min_score", "num_anchors", "window",
         "no_dual", "no_diag", "max_chain_skip", "packed_pos",
         "use_pallas", "pallas_block", "pallas_interpret",
-        "with_spans", "min_cnt",
+        "with_spans", "min_cnt", "want_pairs",
     ),
 )(map_found_many_core)
 

@@ -147,6 +147,18 @@ class TestAva:
 
 
 class TestDeviceEngineStrategies:
+    @pytest.fixture(autouse=True)
+    def _small_device_programs(self, monkeypatch):
+        # On the 8-virtual-CPU mesh the default (TPU-sized) program
+        # shapes make the sharded warmup step minutes-long and can
+        # outlive the collective rendezvous timeout; the integration
+        # semantics are shape-independent (same knobs as
+        # __graft_entry__.dryrun_multichip).
+        monkeypatch.setenv("LRGE_DEVICE_BATCH", "16")
+        monkeypatch.setenv("LRGE_DEVICE_ANCHORS", "1024")
+        monkeypatch.setenv("LRGE_DEVICE_SUPER", "2")
+        monkeypatch.setenv("LRGE_DEVICE_BUCKET", "2048")
+
     def test_twoset_device_matches_host(self, reads_file, tmp_path):
         host = (
             TwoSetBuilder()

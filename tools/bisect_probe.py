@@ -42,24 +42,32 @@ def stagefn(stage):
             occ = jnp.where(fo >= 0, h - l, 0).astype(jnp.int32)
             if stage == "occ": return occ.sum(axis=1)
             cum = jnp.cumsum(occ, axis=1); total = cum[:, -1]
-            if stage == "cum": return cum.sum(axis=1)
             slots = jnp.arange(A, dtype=jnp.int32)
-            m_idx = jax.vmap(lambda c: jnp.searchsorted(c, slots, side="right"))(cum)
-            m_idx = jnp.minimum(m_idx, M-1).astype(jnp.int32)
-            if stage == "midx": return m_idx.sum(axis=1)
-            valid = slots[None,:] < jnp.minimum(total, A)[:, None]
+            prev_cum = cum - occ
+            live = (occ > 0) & (prev_cum < A)
+            tgt = jnp.where(live, prev_cum, 0)
+            rows = jnp.arange(Bq, dtype=jnp.int32)[:, None]
             adj = l - cum + occ
-            p_idx = slots[None,:] + jnp.take_along_axis(adj, m_idx, axis=1)
-            p_idx = jnp.clip(p_idx, 0, rid_t.shape[0]-1)
+            MIN32 = np.iinfo(np.int32).min
+            sc_set = jnp.zeros((Bq, A), dtype=bool).at[rows, tgt].max(live)
+            sc_adj = jnp.full((Bq, A), MIN32, jnp.int32).at[rows, tgt].max(jnp.where(live, adj, MIN32))
+            sc_mps = jnp.full((Bq, A), MIN32, jnp.int32).at[rows, tgt].max(jnp.where(live, mp, MIN32))
+            def ffill(a, b):
+                (av, am), (bv, bm) = a, b
+                return (jnp.where(bm, bv, av), am | bm)
+            (adj_f, _), (mps_f, _) = jax.lax.associative_scan(
+                lambda x, y: (ffill(x[0], y[0]), ffill(x[1], y[1])),
+                ((sc_adj, sc_set), (sc_mps, sc_set)), axis=1)
+            valid = slots[None,:] < jnp.minimum(total, A)[:, None]
+            p_idx = jnp.clip(slots[None,:] + adj_f, 0, rid_t.shape[0]-1)
             if stage == "expand": return p_idx.sum(axis=1)
             rid = jnp.where(valid, rid_t[p_idx], IMAX)
             pp = pos_t[p_idx]
             rpos = jnp.where(valid, pp >> 1, 0)
             tstrand = pp & 1
-            mps_a = jnp.take_along_axis(mp, m_idx, axis=1)
-            qstr = mps_a & 1
+            qstr = mps_f & 1
             strand = jnp.where(valid, tstrand ^ qstr, 0)
-            mq = mps_a >> 1
+            mq = mps_f >> 1
             qpos = jnp.where(strand == 0, mq, ql[:, None] - mq + (p.k - 2))
             if stage == "gather": return (rid.sum(axis=1) + rpos.sum(axis=1) + qpos.sum(axis=1))
             key2 = jnp.where(valid, rid*2+strand, IMAX)
@@ -69,7 +77,7 @@ def stagefn(stage):
         return jax.lax.map(body, (found, mps, qlen))
     return run
 
-for stage in ["cum", "midx", "expand"]:
+for stage in ["occ", "expand", "gather", "sort"]:
     f = stagefn(stage)
     o = f(found, mps, qlen); jax.block_until_ready(o); t0=time.time()
     o = f(found, mps, qlen); jax.block_until_ready(o); t1=time.time()
