@@ -263,11 +263,15 @@ class DeviceOverlapEngine:
         if not self.device_ok:
             return
         lo = 0
-        for L in self.length_buckets:
-            if lengths is None or any(lo < x <= L for x in lengths):
-                fake = [b"ACGT" * (max(lo + 4, L // 2) // 4)] * 2
-                self.count_batch([b"__warm0", b"__warm1"], fake)
-            lo = L
+        self._warming = True  # bypass the sparse-bucket host routing
+        try:
+            for L in self.length_buckets:
+                if lengths is None or any(lo < x <= L for x in lengths):
+                    fake = [b"ACGT" * (max(lo + 4, L // 2) // 4)] * 2
+                    self.count_batch([b"__warm0", b"__warm1"], fake)
+                lo = L
+        finally:
+            self._warming = False
 
     def count_batch(self, names: list, seqs: list, collect_pairs=None) -> BatchCounts:
         """Count overlaps per query; optionally collect passing target
@@ -296,7 +300,27 @@ class DeviceOverlapEngine:
         max_bucket = self.length_buckets[-1]
         long_rows = [i for i, s in enumerate(seqs) if len(s) > max_bucket]
         dev_rows = [i for i in range(n) if len(seqs[i]) <= max_bucket]
-        # long reads go to the host path concurrently with device
+        # sparse buckets are cheaper on the host: a bucket dispatch has a
+        # fixed device cost (the scan runs every anchor slot), so a
+        # handful of long-tail reads would pay seconds of device time for
+        # milliseconds of host work — and the host runs concurrently
+        import os as _os
+
+        min_rows = (
+            0
+            if getattr(self, "_warming", False)
+            else int(_os.environ.get("LRGE_DEVICE_MIN_ROWS", 32))
+        )
+        bucket_rows = {}
+        lo = 0
+        for L in self.length_buckets:
+            rows_b = [i for i in dev_rows if lo < len(seqs[i]) <= L]
+            lo = L
+            if 0 < len(rows_b) <= min_rows:
+                long_rows.extend(rows_b)
+            else:
+                bucket_rows[L] = rows_b
+        # long-tail reads go to the host path concurrently with device
         # execution (the relay waits release the GIL)
         from concurrent.futures import ThreadPoolExecutor
 
@@ -323,10 +347,8 @@ class DeviceOverlapEngine:
         # stage 1: enqueue every super-batch (dispatch is async; keeping
         # results as device arrays pipelines host prep behind execution)
         inflight = []
-        lo = 0
         for L in self.length_buckets:
-            rows_b = [i for i in dev_rows if lo < len(seqs[i]) <= L]
-            lo = L
+            rows_b = bucket_rows.get(L)
             if not rows_b:
                 continue
             # constant batch width across buckets (full [B, A] rows keep
@@ -422,9 +444,9 @@ class DeviceOverlapEngine:
                             jnp.asarray(lengths),
                             jnp.asarray(dual),
                             jnp.asarray(selfr),
-                            gd.lo[s],
+                            gd.loocc[s] if gd.packed_dict_bits else gd.lo[s],
                             gd.hi[s],
-                            gd.rid,
+                            gd.rps if gd.packed_rid_bits else gd.rid,
                             gd.pos,
                             gd.pos,  # unused under packed_pos
                             gd.rank,
@@ -445,6 +467,8 @@ class DeviceOverlapEngine:
                             with_spans=self.pb_mode,
                             min_cnt=p.min_cnt,
                             want_pairs=collect_pairs is not None,
+                            packed_rid_bits=gd.packed_rid_bits,
+                            packed_dict_bits=gd.packed_dict_bits,
                         )
                     )
                 inflight.append((nb, B, A, codes, lengths, ids, mcount_d, subs))
@@ -518,7 +542,9 @@ class DeviceOverlapEngine:
             for i, (c, h) in zip(long_rows, long_future.result()):
                 counts[i], had[i] = c, h
                 fallback += 1
-                self.fallback_triggers["long_read"] += 1
+                self.fallback_triggers[
+                    "long_read" if len(seqs[i]) > max_bucket else "sparse_bucket"
+                ] += 1
             long_pool.shutdown()
         phases["retry"] = _time.perf_counter() - _t0
         if fallback:

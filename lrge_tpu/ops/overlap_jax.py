@@ -231,13 +231,16 @@ def _expand_sort_chain(
     with_spans=False,
     min_cnt=3,
     want_pairs=True,
+    packed_rid_bits=0,
 ):
     """Anchor expansion + (rid,strand,rpos) sort + chain DP + reduce.
 
     Shared tail of the device pipeline: callers provide the per-query
     posting ranges however they were looked up (inline dictionary in
     ``map_batch_core``; precomputed ``found`` planes in
-    ``map_found_core``)."""
+    ``map_found_core``).  With ``packed_rid_bits`` > 0, ``idx_rid`` is a
+    single packed plane ``rid<<(1+bits) | pos<<1 | strand`` and
+    ``idx_pos``/``idx_strand`` are ignored (ONE posting gather)."""
     B, M = occ.shape
     N = idx_rid.shape[0]
     A = num_anchors
@@ -290,12 +293,18 @@ def _expand_sort_chain(
     p_idx = slots[None, :] + adj_f
     p_idx = jnp.clip(p_idx, 0, max(N - 1, 0))
 
-    rid = jnp.where(valid, idx_rid[p_idx], IMAX)
-    if packed_pos:
+    if packed_rid_bits:
+        pr = idx_rid[p_idx]  # the packed plane: ONE [B, A] gather
+        rid = jnp.where(valid, pr >> (1 + packed_rid_bits), IMAX)
+        rpos = jnp.where(valid, (pr >> 1) & ((1 << packed_rid_bits) - 1), 0)
+        tstrand = pr & 1
+    elif packed_pos:
+        rid = jnp.where(valid, idx_rid[p_idx], IMAX)
         pp = idx_pos[p_idx]
         rpos = jnp.where(valid, pp >> 1, 0)
         tstrand = pp & 1
     else:
+        rid = jnp.where(valid, idx_rid[p_idx], IMAX)
         rpos = jnp.where(valid, idx_pos[p_idx], 0)
         tstrand = idx_strand[p_idx]
     mps_a = mps_f
@@ -1004,9 +1013,23 @@ def sketch_many_core(codes, lengths, *, k, w):
 
     M = minimizer_cap(codes.shape[-1])
 
-    def body(args):
+    def real_body(args):
         c, ln = args
         return sketch_core(c, ln, k=k, w=w, max_minimizers=M)
+
+    def empty_body(args):
+        c, ln = args
+        B = c.shape[0]
+        return (
+            jnp.full((B, M), 0xFFFFFFFF, jnp.uint32),
+            jnp.zeros((B, M), jnp.int32),
+            jnp.zeros((B, M), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+        )
+
+    def body(args):
+        # skip all-padding super-batch slots at runtime (see map_found_many)
+        return jax.lax.cond(jnp.any(args[1] > 0), real_body, empty_body, args)
 
     return jax.lax.map(body, (codes, lengths))
 
@@ -1235,13 +1258,27 @@ def sketch_lookup_many_core(
     codes, lengths, uhash, uoff, boff, mid_occ, *, k, w, bucket_bits, bucket_kmax,
     q_occ_frac,
 ):
-    def body(args):
+    def real_body(args):
         c, ln = args
         return sketch_lookup_core(
             c, ln, uhash, uoff, boff, mid_occ,
             k=k, w=w, bucket_bits=bucket_bits, bucket_kmax=bucket_kmax,
             q_occ_frac=q_occ_frac,
         )
+
+    def empty_body(args):
+        c, ln = args
+        B = c.shape[0]
+        M = minimizer_cap(c.shape[1])
+        return (
+            jnp.full((B, M), -1, jnp.int32),
+            jnp.zeros((B, M), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+        )
+
+    def body(args):
+        # skip all-padding super-batch slots at runtime (see map_found_many)
+        return jax.lax.cond(jnp.any(args[1] > 0), real_body, empty_body, args)
 
     return jax.lax.map(body, (codes, lengths))
 
@@ -1282,11 +1319,21 @@ def map_found_core(
     with_spans=False,
     min_cnt=3,
     want_pairs=True,
+    packed_rid_bits=0,
+    packed_dict_bits=0,
 ):
     fc = jnp.maximum(found, 0)
-    lo = lo_plane[fc]
-    hi = hi_plane[fc]
-    occ = jnp.where(found >= 0, hi - lo, 0).astype(jnp.int32)
+    if packed_dict_bits:
+        # lo_plane packs (range_start << bits) | occ: ONE [B, M] gather
+        lo_occ = lo_plane[fc]
+        lo = lo_occ >> packed_dict_bits
+        occ = jnp.where(
+            found >= 0, lo_occ & ((1 << packed_dict_bits) - 1), 0
+        ).astype(jnp.int32)
+    else:
+        lo = lo_plane[fc]
+        hi = hi_plane[fc]
+        occ = jnp.where(found >= 0, hi - lo, 0).astype(jnp.int32)
     return _expand_sort_chain(
         lo,
         occ,
@@ -1315,6 +1362,7 @@ def map_found_core(
         with_spans=with_spans,
         min_cnt=min_cnt,
         want_pairs=want_pairs,
+        packed_rid_bits=packed_rid_bits,
     )
 
 
@@ -1348,8 +1396,10 @@ def map_found_many_core(
     with_spans=False,
     min_cnt=3,
     want_pairs=True,
+    packed_rid_bits=0,
+    packed_dict_bits=0,
 ):
-    def body(args):
+    def real_body(args):
         fo, mp, ql, qd, qs = args
         return map_found_core(
             fo, mp, ql, qd, qs, lo_plane, hi_plane,
@@ -1360,7 +1410,25 @@ def map_found_many_core(
             packed_pos=packed_pos, use_pallas=use_pallas,
             pallas_block=pallas_block, pallas_interpret=pallas_interpret,
             with_spans=with_spans, min_cnt=min_cnt, want_pairs=want_pairs,
+            packed_rid_bits=packed_rid_bits, packed_dict_bits=packed_dict_bits,
         )
+
+    def empty_body(args):
+        fo, mp, ql, qd, qs = args
+        B = ql.shape[0]
+        PM = 512 if want_pairs else 1
+        return (
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.full((B, PM), -1, jnp.int32),
+        )
+
+    def body(args):
+        # super-batch groups are padded to a fixed slot count; all-padding
+        # slots skip the whole pipeline at runtime (lax.map lowers to a
+        # scan, so this is a true scalar branch, not a vmapped select)
+        return jax.lax.cond(jnp.any(args[2] > 0), real_body, empty_body, args)
 
     return jax.lax.map(body, (found, mps, qlen, qdualrank, qselfrid))
 
@@ -1372,6 +1440,7 @@ map_found_many = functools.partial(
         "no_dual", "no_diag", "max_chain_skip", "packed_pos",
         "use_pallas", "pallas_block", "pallas_interpret",
         "with_spans", "min_cnt", "want_pairs",
+        "packed_rid_bits", "packed_dict_bits",
     ),
 )(map_found_many_core)
 
@@ -1402,6 +1471,15 @@ class GroupedDeviceIndex:
     n_sub: int
     uhash_lo: jnp.ndarray = None  # wide keys: low 19-bit plane
     wide: bool = False
+    # single-gather packings (0 = disabled).  ``rps`` packs
+    # rid<<(1+pos_bits) | pos<<1 | strand into ONE posting plane when the
+    # bit widths fit (halves the dominant [B, A] posting gathers);
+    # ``loocc`` packs each sub's posting-range start and width into one
+    # dictionary plane (halves the [B, M] range gathers).
+    packed_rid_bits: int = 0  # = pos_bits when active
+    rps: jnp.ndarray = None  # [N] int32
+    packed_dict_bits: int = 0  # = occ_bits when active
+    loocc: list = None  # n_sub device arrays [U] int32
 
     @classmethod
     def from_host(cls, index, n_sub: int, bucket_bits: int = 22) -> "GroupedDeviceIndex":
@@ -1464,6 +1542,34 @@ class GroupedDeviceIndex:
         if wide and bucket_bits == 0:
             # the wide lookup has no binary-search fallback
             return None
+        import os
+
+        no_pack = os.environ.get("LRGE_NO_PACK") == "1"
+        # single-plane posting packing: rid | pos | strand in one int32
+        T = len(index.name_rank)
+        rid_bits = max(1, int(T - 1).bit_length()) if T else 1
+        max_pos = int(pos_g.max() >> 1) if N else 0
+        pos_bits = max(1, max_pos.bit_length())
+        packed_rid_bits = 0
+        rps = None
+        if not no_pack and not wide and rid_bits + pos_bits + 1 <= 31:
+            packed_rid_bits = pos_bits
+            rps = jnp.asarray((rid_g << (1 + pos_bits)) | pos_g)
+        # single-plane dictionary packing: range start | occ in one int32
+        max_occ_sub = int(counts.max()) if U and n_sub else 0
+        occ_bits = max(1, max_occ_sub.bit_length())
+        lo_bits = max(1, int(N).bit_length())
+        packed_dict_bits = 0
+        loocc = None
+        if not no_pack and lo_bits + occ_bits <= 31:
+            packed_dict_bits = occ_bits
+            loocc = [
+                jnp.asarray(
+                    (soff[:, s].astype(np.int32) << occ_bits)
+                    | (soff[:, s + 1] - soff[:, s]).astype(np.int32)
+                )
+                for s in range(n_sub)
+            ]
         return cls(
             rid=jnp.asarray(rid_g),
             pos=jnp.asarray(pos_g),
@@ -1479,6 +1585,10 @@ class GroupedDeviceIndex:
             n_sub=n_sub,
             uhash_lo=None if uh_planes[1] is None else jnp.asarray(uh_planes[1]),
             wide=wide,
+            packed_rid_bits=packed_rid_bits,
+            rps=rps,
+            packed_dict_bits=packed_dict_bits,
+            loocc=loocc,
         )
 
 
@@ -1578,12 +1688,21 @@ def pb_lookup_many_core(
     qhi, qlo, uh_hi, uh_lo, uoff, boff, mid_occ, *, hash_bits, bucket_bits,
     bucket_kmax, q_occ_frac,
 ):
-    def body(args):
+    def real_body(args):
         hi, lo = args
         return pb_lookup_core(
             hi, lo, uh_hi, uh_lo, uoff, boff, mid_occ,
             hash_bits=hash_bits, bucket_bits=bucket_bits,
             bucket_kmax=bucket_kmax, q_occ_frac=q_occ_frac,
+        )
+
+    def body(args):
+        # skip all-padding super-batch slots at runtime (see map_found_many)
+        return jax.lax.cond(
+            jnp.any(args[0] >= 0),
+            real_body,
+            lambda a: jnp.full(a[0].shape, -1, jnp.int32),
+            args,
         )
 
     return jax.lax.map(body, (qhi, qlo))

@@ -10,6 +10,10 @@ instead (single-device tests only).
 
 import os
 
+# tests use small read sets on purpose; keep them on the device path
+# instead of the sparse-bucket host routing (a production optimisation)
+os.environ.setdefault("LRGE_DEVICE_MIN_ROWS", "0")
+
 if not os.environ.get("LRGE_TEST_TPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
     _flags = os.environ.get("XLA_FLAGS", "")

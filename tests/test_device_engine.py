@@ -132,3 +132,35 @@ class TestDeviceVsHost:
         for i in range(12):
             hc, _ = host.count_overlaps(qnames[i], queries[i])
             assert res.counts[i] == hc, f"query {i}: device {res.counts[i]} host {hc}"
+
+    def test_packed_planes_match_unpacked(self, corpus, monkeypatch):
+        # single-gather posting/dictionary packings (packed_rid_bits /
+        # packed_dict_bits) must be a pure layout change: counts equal
+        # the unpacked planes bit-for-bit
+        targets, tnames, queries, qnames = corpus
+        params = preset_for(Platform.NANOPORE, dual=True)
+        index = build_index(targets, tnames, params)
+        monkeypatch.setenv("LRGE_SHARDS", "1")  # grouped path, not sharded
+        dev_packed = DeviceOverlapEngine(
+            index, batch_size=16, num_anchors=4096, window=128
+        )
+        assert dev_packed.gdev.packed_rid_bits > 0
+        assert dev_packed.gdev.packed_dict_bits > 0
+        res_packed = dev_packed.count_batch(qnames, queries)
+        monkeypatch.setenv("LRGE_NO_PACK", "1")
+        dev_plain = DeviceOverlapEngine(
+            index, batch_size=16, num_anchors=4096, window=128
+        )
+        assert dev_plain.gdev.packed_rid_bits == 0
+        assert dev_plain.gdev.packed_dict_bits == 0
+        res_plain = dev_plain.count_batch(qnames, queries)
+        assert np.array_equal(res_packed.counts, res_plain.counts)
+        assert np.array_equal(res_packed.had_mapping, res_plain.had_mapping)
+        # and the grouped path (either packing) must equal the exact host
+        # engine (the other ONT tests in this file run the sharded path:
+        # the CPU test backend exposes 8 virtual devices)
+        host = OverlapEngine(index)
+        for i, (nm, sq) in enumerate(zip(qnames, queries)):
+            hc, hh = host.count_overlaps(nm, sq)
+            assert res_packed.counts[i] == hc
+            assert bool(res_packed.had_mapping[i]) == bool(hh)
