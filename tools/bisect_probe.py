@@ -29,6 +29,9 @@ found, mps, mc = sketch_lookup_many(jnp.asarray(codes), jnp.asarray(lengths),
 jax.block_until_ready(found)
 qlen = jnp.asarray(lengths)
 lo, hi, rid_t, pos_t = gd.lo[0], gd.hi[0], gd.rid, gd.pos
+loocc, rps = (gd.loocc[0] if gd.packed_dict_bits else None), gd.rps
+DICT_BITS, RID_BITS = gd.packed_dict_bits, gd.packed_rid_bits
+print(f"packed_dict_bits={DICT_BITS} packed_rid_bits={RID_BITS}", file=sys.stderr)
 IMAX = jnp.int32(np.iinfo(np.int32).max)
 
 def stagefn(stage):
@@ -38,8 +41,13 @@ def stagefn(stage):
             fo, mp, ql = args
             Bq, M = fo.shape
             fc = jnp.maximum(fo, 0)
-            l = lo[fc]; h = hi[fc]
-            occ = jnp.where(fo >= 0, h - l, 0).astype(jnp.int32)
+            if DICT_BITS:
+                lc = loocc[fc]
+                l = lc >> DICT_BITS
+                occ = jnp.where(fo >= 0, lc & ((1 << DICT_BITS) - 1), 0).astype(jnp.int32)
+            else:
+                l = lo[fc]; h = hi[fc]
+                occ = jnp.where(fo >= 0, h - l, 0).astype(jnp.int32)
             if stage == "occ": return occ.sum(axis=1)
             cum = jnp.cumsum(occ, axis=1); total = cum[:, -1]
             slots = jnp.arange(A, dtype=jnp.int32)
@@ -61,10 +69,16 @@ def stagefn(stage):
             valid = slots[None,:] < jnp.minimum(total, A)[:, None]
             p_idx = jnp.clip(slots[None,:] + adj_f, 0, rid_t.shape[0]-1)
             if stage == "expand": return p_idx.sum(axis=1)
-            rid = jnp.where(valid, rid_t[p_idx], IMAX)
-            pp = pos_t[p_idx]
-            rpos = jnp.where(valid, pp >> 1, 0)
-            tstrand = pp & 1
+            if RID_BITS:
+                pr = rps[p_idx]
+                rid = jnp.where(valid, pr >> (1 + RID_BITS), IMAX)
+                rpos = jnp.where(valid, (pr >> 1) & ((1 << RID_BITS) - 1), 0)
+                tstrand = pr & 1
+            else:
+                rid = jnp.where(valid, rid_t[p_idx], IMAX)
+                pp = pos_t[p_idx]
+                rpos = jnp.where(valid, pp >> 1, 0)
+                tstrand = pp & 1
             qstr = mps_f & 1
             strand = jnp.where(valid, tstrand ^ qstr, 0)
             mq = mps_f >> 1
