@@ -92,7 +92,10 @@ def main():
     t_index = time.perf_counter() - t0
     print(f"[bench] index build: {t_index:.2f}s ({len(index.keys)} postings)", file=sys.stderr)
 
-    engine = DeviceOverlapEngine(index, batch_size=128, num_anchors=4096, window=int(os.environ.get("BENCH_WINDOW", 64)))
+    # window=32 measured best on-chip (tools/tune_probe.py 2026-08-18:
+    # 1659 q/s vs 1538 at window=64; the handful of extra window-miss
+    # rows recompute on the host for less than the DP time saved)
+    engine = DeviceOverlapEngine(index, batch_size=128, num_anchors=4096, window=int(os.environ.get("BENCH_WINDOW", 32)))
     t_w = time.perf_counter()
     engine.warmup()  # compile all length buckets
     print(f"[bench] warmup/compile: {time.perf_counter()-t_w:.1f}s", file=sys.stderr)

@@ -61,7 +61,7 @@ class DeviceOverlapEngine:
         *,
         batch_size: int = 128,
         num_anchors: int = 4096,
-        window: int = 64,
+        window: int = 32,
         length_buckets: tuple = LENGTH_BUCKETS,
         super_batch: int = 8,
     ):
@@ -209,12 +209,19 @@ class DeviceOverlapEngine:
         return self.host.count_overlaps(name, seq)
 
     def _host_count_many(self, items):
-        """Parallel exact host counting (native chain DP releases the GIL)."""
+        """Parallel exact host counting.
+
+        Threads only pay off with the native chain DP, which releases
+        the GIL; under the pure-numpy fallback DP the workers would
+        serialize on the GIL, so that path runs the loop inline.
+        """
         from concurrent.futures import ThreadPoolExecutor
 
         import os
 
-        if len(items) <= 1:
+        from .native import native as _native
+
+        if _native is None or len(items) <= 1:
             return [self._host_count(nm, sq) for nm, sq in items]
         with ThreadPoolExecutor(max_workers=min(os.cpu_count() or 2, len(items))) as ex:
             return list(ex.map(lambda t: self._host_count(*t), items))
