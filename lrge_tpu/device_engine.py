@@ -118,6 +118,13 @@ class DeviceOverlapEngine:
         # scan stays the default; the kernel remains a tested,
         # semantics-identical alternative.
         self.use_pallas = os.environ.get("LRGE_PALLAS") == "1"
+        # batch the super axis with vmap instead of lax.map (the DP
+        # scan and sorts are latency-bound at [B, ...] shapes, so one
+        # [SUP*B, ...] pass beats SUP sequential passes); mutually
+        # exclusive with the Pallas DP backend (fixed [B] grid)
+        self.sup_vmap = (
+            os.environ.get("LRGE_SUP_VMAP", "0") == "1" and not self.use_pallas
+        )
         self.pallas_block = math.gcd(
             batch_size, int(os.environ.get("LRGE_PALLAS_BLOCK", "8"))
         )
@@ -425,6 +432,7 @@ class DeviceOverlapEngine:
                         bucket_bits=gd.bucket_bits,
                         bucket_kmax=gd.bucket_kmax,
                         q_occ_frac=p.q_occ_frac,
+                        sup_vmap=self.sup_vmap,
                     )
                     mps = jnp.asarray(mps_h.reshape(*SH, M_L))
                     mcount_d = mc_h.reshape(SH)
@@ -441,6 +449,7 @@ class DeviceOverlapEngine:
                         bucket_bits=gd.bucket_bits,
                         bucket_kmax=gd.bucket_kmax,
                         q_occ_frac=p.q_occ_frac,
+                        sup_vmap=self.sup_vmap,
                     )
                 subs = []
                 for s in range(gd.n_sub):
@@ -476,6 +485,7 @@ class DeviceOverlapEngine:
                             want_pairs=collect_pairs is not None,
                             packed_rid_bits=gd.packed_rid_bits,
                             packed_dict_bits=gd.packed_dict_bits,
+                            sup_vmap=self.sup_vmap,
                         )
                     )
                 inflight.append((nb, B, A, codes, lengths, ids, mcount_d, subs))

@@ -1256,7 +1256,7 @@ def sketch_lookup_core(
 
 def sketch_lookup_many_core(
     codes, lengths, uhash, uoff, boff, mid_occ, *, k, w, bucket_bits, bucket_kmax,
-    q_occ_frac,
+    q_occ_frac, sup_vmap=False,
 ):
     def real_body(args):
         c, ln = args
@@ -1265,6 +1265,13 @@ def sketch_lookup_many_core(
             k=k, w=w, bucket_bits=bucket_bits, bucket_kmax=bucket_kmax,
             q_occ_frac=q_occ_frac,
         )
+
+    if sup_vmap:
+        # batch the super axis instead of looping it: every op carries
+        # a [SUP*B, ...] shape, so the (latency-bound) sort/scan stages
+        # run once instead of SUP times (all-padding slots lose their
+        # runtime skip, but only the final group is ever padded)
+        return jax.vmap(real_body)((codes, lengths))
 
     def empty_body(args):
         c, ln = args
@@ -1285,7 +1292,7 @@ def sketch_lookup_many_core(
 
 sketch_lookup_many = functools.partial(
     jax.jit,
-    static_argnames=("k", "w", "bucket_bits", "bucket_kmax", "q_occ_frac"),
+    static_argnames=("k", "w", "bucket_bits", "bucket_kmax", "q_occ_frac", "sup_vmap"),
 )(sketch_lookup_many_core)
 
 
@@ -1398,6 +1405,7 @@ def map_found_many_core(
     want_pairs=True,
     packed_rid_bits=0,
     packed_dict_bits=0,
+    sup_vmap=False,
 ):
     def real_body(args):
         fo, mp, ql, qd, qs = args
@@ -1424,6 +1432,12 @@ def map_found_many_core(
             jnp.full((B, PM), -1, jnp.int32),
         )
 
+    if sup_vmap:
+        # batch the super axis: the anchor-slot DP scan and the big
+        # sorts run ONCE over [SUP*B, ...] lanes instead of SUP
+        # sequential passes (see sketch_lookup_many_core)
+        return jax.vmap(real_body)((found, mps, qlen, qdualrank, qselfrid))
+
     def body(args):
         # super-batch groups are padded to a fixed slot count; all-padding
         # slots skip the whole pipeline at runtime (lax.map lowers to a
@@ -1440,7 +1454,7 @@ map_found_many = functools.partial(
         "no_dual", "no_diag", "max_chain_skip", "packed_pos",
         "use_pallas", "pallas_block", "pallas_interpret",
         "with_spans", "min_cnt", "want_pairs",
-        "packed_rid_bits", "packed_dict_bits",
+        "packed_rid_bits", "packed_dict_bits", "sup_vmap",
     ),
 )(map_found_many_core)
 
@@ -1686,7 +1700,7 @@ def pb_lookup_core(
 
 def pb_lookup_many_core(
     qhi, qlo, uh_hi, uh_lo, uoff, boff, mid_occ, *, hash_bits, bucket_bits,
-    bucket_kmax, q_occ_frac,
+    bucket_kmax, q_occ_frac, sup_vmap=False,
 ):
     def real_body(args):
         hi, lo = args
@@ -1695,6 +1709,10 @@ def pb_lookup_many_core(
             hash_bits=hash_bits, bucket_bits=bucket_bits,
             bucket_kmax=bucket_kmax, q_occ_frac=q_occ_frac,
         )
+
+    if sup_vmap:
+        # batch the super axis (see sketch_lookup_many_core)
+        return jax.vmap(real_body)((qhi, qlo))
 
     def body(args):
         # skip all-padding super-batch slots at runtime (see map_found_many)
@@ -1710,5 +1728,7 @@ def pb_lookup_many_core(
 
 pb_lookup_many = functools.partial(
     jax.jit,
-    static_argnames=("hash_bits", "bucket_bits", "bucket_kmax", "q_occ_frac"),
+    static_argnames=(
+        "hash_bits", "bucket_bits", "bucket_kmax", "q_occ_frac", "sup_vmap",
+    ),
 )(pb_lookup_many_core)

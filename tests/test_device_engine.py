@@ -164,3 +164,31 @@ class TestDeviceVsHost:
             hc, hh = host.count_overlaps(nm, sq)
             assert res_packed.counts[i] == hc
             assert bool(res_packed.had_mapping[i]) == bool(hh)
+
+    def test_sup_vmap_matches_lax_map(self, corpus, monkeypatch):
+        # the vmapped super-batch axis (LRGE_SUP_VMAP=1) is a pure
+        # scheduling change: counts, mapping flags and ava pair lists
+        # must equal the sequential lax.map dispatch bit-for-bit
+        targets, tnames, queries, qnames = corpus
+        params = preset_for(Platform.NANOPORE, dual=True)
+        index = build_index(targets, tnames, params)
+        monkeypatch.setenv("LRGE_SHARDS", "1")  # grouped path, not sharded
+        monkeypatch.setenv("LRGE_SUP_VMAP", "0")
+        dev_map = DeviceOverlapEngine(
+            index, batch_size=16, num_anchors=4096, window=128
+        )
+        assert not dev_map.sup_vmap
+        pairs_map = {}
+        res_map = dev_map.count_batch(qnames, queries, collect_pairs=pairs_map)
+        monkeypatch.setenv("LRGE_SUP_VMAP", "1")
+        dev_vmap = DeviceOverlapEngine(
+            index, batch_size=16, num_anchors=4096, window=128
+        )
+        assert dev_vmap.sup_vmap
+        pairs_vmap = {}
+        res_vmap = dev_vmap.count_batch(qnames, queries, collect_pairs=pairs_vmap)
+        assert np.array_equal(res_map.counts, res_vmap.counts)
+        assert np.array_equal(res_map.had_mapping, res_vmap.had_mapping)
+        assert pairs_map.keys() == pairs_vmap.keys()
+        for q in pairs_map:
+            assert np.array_equal(np.sort(pairs_map[q]), np.sort(pairs_vmap[q]))
