@@ -1,7 +1,8 @@
 """Batched device overlap engine with exact host fallback.
 
-Drives the fused sketch+map program (``ops.overlap_jax.fused_count``)
-over length-bucketed query batches.  The whole per-batch pipeline is a
+Drives the fused sketch+lookup and map programs
+(``ops.overlap_jax.sketch_lookup_many`` / ``map_found_many``) over
+length-bucketed query batches.  The whole per-batch pipeline is a
 single compiled dispatch — remote compilation and relay round-trips
 dominate in this environment, so the engine compiles at most
 ``len(LENGTH_BUCKETS)`` programs and dispatches once per batch.
@@ -325,6 +326,23 @@ class DeviceOverlapEngine:
             if getattr(self, "_warming", False)
             else int(_os.environ.get("LRGE_DEVICE_MIN_ROWS", 32))
         )
+        # heterogeneous split: hand the shortest rows to the exact host
+        # engine, which runs CONCURRENTLY with device execution (the
+        # relay waits release the GIL).  Short reads are the cheapest
+        # per-read on the host, and removing them drops whole
+        # length-sorted device batches.  Disabled while warming or when
+        # the native runtime (GIL-releasing chain DP) is unavailable.
+        host_share_rows = []
+        if not getattr(self, "_warming", False):
+            from .native import native as _native
+
+            share = float(_os.environ.get("LRGE_HOST_SHARE", "0"))
+            if share > 0 and _native is not None and len(dev_rows) >= 4 * self.batch_size:
+                k = int(len(dev_rows) * share)
+                if k:
+                    by_len = sorted(dev_rows, key=lambda i: len(seqs[i]))
+                    host_share_rows = by_len[:k]
+                    dev_rows = by_len[k:]
         bucket_rows = {}
         lo = 0
         for L in self.length_buckets:
@@ -334,16 +352,17 @@ class DeviceOverlapEngine:
                 long_rows.extend(rows_b)
             else:
                 bucket_rows[L] = rows_b
-        # long-tail reads go to the host path concurrently with device
-        # execution (the relay waits release the GIL)
+        # long-tail + host-share reads go to the host path concurrently
+        # with device execution (the relay waits release the GIL)
         from concurrent.futures import ThreadPoolExecutor
 
-        long_pool = ThreadPoolExecutor(1) if long_rows else None
+        host_rows_all = long_rows + host_share_rows
+        long_pool = ThreadPoolExecutor(1) if host_rows_all else None
         long_future = (
             long_pool.submit(
-                self._host_count_many, [(names[i], seqs[i]) for i in long_rows]
+                self._host_count_many, [(names[i], seqs[i]) for i in host_rows_all]
             )
-            if long_rows
+            if host_rows_all
             else None
         )
 
@@ -556,8 +575,13 @@ class DeviceOverlapEngine:
             counts[qid], had[qid] = c, h
             fallback += 1
         if long_future is not None:
-            for i, (c, h) in zip(long_rows, long_future.result()):
+            share_set = set(host_share_rows)
+            for i, (c, h) in zip(host_rows_all, long_future.result()):
                 counts[i], had[i] = c, h
+                if i in share_set:
+                    # deliberate heterogeneous scheduling, not a fallback
+                    self.fallback_triggers["host_share"] += 1
+                    continue
                 fallback += 1
                 self.fallback_triggers[
                     "long_read" if len(seqs[i]) > max_bucket else "sparse_bucket"

@@ -347,10 +347,13 @@ def _expand_sort_chain(
         qpos = (qpos << 8) | span_a
 
     # ---- sort by (rid,strand,rpos), stable in seed order ----
-    key2_s, rpos_s, qpos_s, rid_s = jax.lax.sort(
-        (key2, rpos, qpos, rid), dimension=1, num_keys=2, is_stable=True
+    # rid rides inside the key (key2 = rid*2+strand, IMAX when invalid),
+    # so it is NOT a separate sort operand; derive it after the sort
+    key2_s, rpos_s, qpos_s = jax.lax.sort(
+        (key2, rpos, qpos), dimension=1, num_keys=2, is_stable=True
     )
     valid_s = key2_s != IMAX
+    rid_s = jnp.where(valid_s, key2_s >> 1, IMAX)
 
     # ---- 3. chaining DP ----
     if use_pallas and not with_spans:
@@ -539,9 +542,39 @@ def _expand_sort_chain(
         jnp.zeros((B, W), dtype=jnp.int32),
     )
 
-    slots_bc = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (B, A))
-    xs = (key2_s.T, rpos_s.T, qpos_s.T, valid_s.T, slots_bc.T)  # [A, B] each
-    _, (f_steps, b_steps, c_steps) = jax.lax.scan(step, init, xs)  # [A, B]
+    # dynamic trip count: invalid anchors sort to the end, so the DP
+    # only needs to walk slots [0, max-valid-anchors-in-batch); the
+    # remaining slots keep their init values (f = NEG, broke/cnt = 0),
+    # which is exactly what the scan would have produced for all-invalid
+    # steps.  Batches are length-sorted upstream, so the bound is tight
+    # for short-read groups (mean anchors ~1/3 of capacity on the bench
+    # corpus).
+    xs_k, xs_r, xs_q = key2_s.T, rpos_s.T, qpos_s.T  # [A, B]
+    xs_v = valid_s.T
+    bound = jnp.minimum(jnp.max(jnp.sum(valid_s, axis=1)), A).astype(jnp.int32)
+    f_buf = jnp.full((A, B), NEG, jnp.int32)
+    b_buf = jnp.zeros((A, B), bool)
+    c_buf = jnp.zeros((A, B), jnp.int32)
+
+    def cond_fn(state):
+        return state[0] < bound
+
+    def body_fn(state):
+        i, carry, f_b, b_b, c_b = state
+        xk = jax.lax.dynamic_slice_in_dim(xs_k, i, 1, 0)[0]
+        xr = jax.lax.dynamic_slice_in_dim(xs_r, i, 1, 0)[0]
+        xq = jax.lax.dynamic_slice_in_dim(xs_q, i, 1, 0)[0]
+        xv = jax.lax.dynamic_slice_in_dim(xs_v, i, 1, 0)[0]
+        islot = jnp.broadcast_to(i, (B,)).astype(jnp.int32)
+        carry, (f_t, b_t, c_t) = step(carry, (xk, xr, xq, xv, islot))
+        f_b = jax.lax.dynamic_update_slice_in_dim(f_b, f_t[None], i, 0)
+        b_b = jax.lax.dynamic_update_slice_in_dim(b_b, b_t[None], i, 0)
+        c_b = jax.lax.dynamic_update_slice_in_dim(c_b, c_t[None], i, 0)
+        return (i + 1, carry, f_b, b_b, c_b)
+
+    _, _, f_steps, b_steps, c_steps = jax.lax.while_loop(
+        cond_fn, body_fn, (jnp.int32(0), init, f_buf, b_buf, c_buf)
+    )
     f = f_steps.T  # [B, A]
     broke = b_steps.T  # [B, A]
     return _reduce_counts(
@@ -769,242 +802,6 @@ def _pruned_postings(index):
     else:
         keep = np.ones(0, dtype=bool)
     return keys_all[keep], index.rid[keep], index.pos[keep], index.strand[keep]
-
-
-map_batch_device = functools.partial(
-    jax.jit,
-    static_argnames=(
-        "k",
-        "max_gap",
-        "bw",
-        "min_score",
-        "num_anchors",
-        "window",
-        "no_dual",
-        "no_diag",
-        "max_chain_skip",
-        "q_occ_frac",
-        "bucket_bits",
-        "bucket_kmax",
-        "packed_pos",
-        "use_pallas",
-        "pallas_block",
-        "pallas_interpret",
-    ),
-)(map_batch_core)
-
-
-def fused_count_core(
-    codes,
-    lengths,
-    idx_keys,
-    idx_rid,
-    idx_pos,
-    idx_strand,
-    idx_rank,
-    mid_occ,
-    qdualrank,
-    qselfrid,
-    chn_pen_gap,
-    uhash=None,
-    uoff=None,
-    boff=None,
-    *,
-    k,
-    w,
-    max_gap,
-    bw,
-    min_score,
-    num_anchors,
-    window,
-    no_dual,
-    no_diag,
-    max_chain_skip=25,
-    q_occ_frac=0.01,
-    bucket_bits=0,
-    bucket_kmax=8,
-    packed_pos=False,
-    use_pallas=False,
-    pallas_block=8,
-    pallas_interpret=False,
-):
-    """Sketch + map in a single program (one dispatch, one compile).
-
-    Remote-compilation latency and per-dispatch relay overhead dominate
-    small programs in this environment, so the production path fuses the
-    whole per-batch pipeline.  ``M`` (minimizer capacity) is derived
-    from the static read length (density bound 1/2 > 2/(w+1)).
-    """
-    from .sketch_jax import sketch_core
-
-    M = minimizer_cap(codes.shape[1])
-    mhash, mpos, mstrand, mcount = sketch_core(
-        codes, lengths, k=k, w=w, max_minimizers=M
-    )
-    counts, n_anchors, max_run, pair_rids = map_batch_core(
-        idx_keys,
-        idx_rid,
-        idx_pos,
-        idx_strand,
-        idx_rank,
-        mid_occ,
-        mhash,
-        mpos,
-        mstrand,
-        lengths,
-        qdualrank,
-        qselfrid,
-        chn_pen_gap,
-        uhash,
-        uoff,
-        boff,
-        k=k,
-        max_gap=max_gap,
-        bw=bw,
-        min_score=min_score,
-        num_anchors=num_anchors,
-        window=window,
-        no_dual=no_dual,
-        no_diag=no_diag,
-        max_chain_skip=max_chain_skip,
-        q_occ_frac=q_occ_frac,
-        bucket_bits=bucket_bits,
-        bucket_kmax=bucket_kmax,
-        packed_pos=packed_pos,
-        use_pallas=use_pallas,
-        pallas_block=pallas_block,
-        pallas_interpret=pallas_interpret,
-    )
-    return counts, n_anchors, max_run, mcount, pair_rids
-
-
-fused_count = functools.partial(
-    jax.jit,
-    static_argnames=(
-        "k",
-        "w",
-        "max_gap",
-        "bw",
-        "min_score",
-        "num_anchors",
-        "window",
-        "no_dual",
-        "no_diag",
-        "max_chain_skip",
-        "q_occ_frac",
-        "bucket_bits",
-        "bucket_kmax",
-        "packed_pos",
-        "use_pallas",
-        "pallas_block",
-        "pallas_interpret",
-    ),
-)(fused_count_core)
-
-
-def fused_count_many_core(
-    codes,  # [NB, B, L]
-    lengths,  # [NB, B]
-    idx_keys,
-    idx_rid,
-    idx_pos,
-    idx_strand,
-    idx_rank,
-    mid_occ,
-    qdualrank,  # [NB, B]
-    qselfrid,  # [NB, B]
-    chn_pen_gap,
-    uhash=None,
-    uoff=None,
-    boff=None,
-    *,
-    k,
-    w,
-    max_gap,
-    bw,
-    min_score,
-    num_anchors,
-    window,
-    no_dual,
-    no_diag,
-    max_chain_skip=25,
-    q_occ_frac=0.01,
-    bucket_bits=0,
-    bucket_kmax=8,
-    packed_pos=False,
-    use_pallas=False,
-    pallas_block=8,
-    pallas_interpret=False,
-):
-    """A super-batch of query batches in ONE dispatch via lax.map.
-
-    Per-dispatch relay latency (~30ms here) and per-program remote
-    compilation are the dominant overheads; mapping over a fixed number
-    of inner batches amortises both (one program, one dispatch per
-    ``NB*B`` queries).
-    """
-
-    def body(args):
-        c, ln, qd, qs = args
-        return fused_count_core(
-            c,
-            ln,
-            idx_keys,
-            idx_rid,
-            idx_pos,
-            idx_strand,
-            idx_rank,
-            mid_occ,
-            qd,
-            qs,
-            chn_pen_gap,
-            uhash,
-            uoff,
-            boff,
-            k=k,
-            w=w,
-            max_gap=max_gap,
-            bw=bw,
-            min_score=min_score,
-            num_anchors=num_anchors,
-            window=window,
-            no_dual=no_dual,
-            no_diag=no_diag,
-            max_chain_skip=max_chain_skip,
-            q_occ_frac=q_occ_frac,
-            bucket_bits=bucket_bits,
-            bucket_kmax=bucket_kmax,
-            packed_pos=packed_pos,
-            use_pallas=use_pallas,
-            pallas_block=pallas_block,
-            pallas_interpret=pallas_interpret,
-        )
-
-    return jax.lax.map(body, (codes, lengths, qdualrank, qselfrid))
-
-
-fused_count_many = functools.partial(
-    jax.jit,
-    static_argnames=(
-        "k",
-        "w",
-        "max_gap",
-        "bw",
-        "min_score",
-        "num_anchors",
-        "window",
-        "no_dual",
-        "no_diag",
-        "max_chain_skip",
-        "q_occ_frac",
-        "bucket_bits",
-        "bucket_kmax",
-        "packed_pos",
-        "use_pallas",
-        "pallas_block",
-        "pallas_interpret",
-    ),
-)(fused_count_many_core)
 
 
 def sketch_many_core(codes, lengths, *, k, w):

@@ -142,13 +142,26 @@ def sketch_core(
     sel = sel | ((cols == tie_pos[:, None]) & has_tail[:, None])
 
     # compact to [B, M] by sorting selected positions to the front
-    # (stable single-key sort; position is recovered from the sort key)
+    # (stable single-key sort; position is recovered from the sort key).
+    # A cumsum+scatter compaction was measured SLOWER on v5e (+25% on
+    # the fused program): TPU scatter costs ~18ns/element of random
+    # access while the bitonic sort streams at HBM bandwidth.  The hash
+    # fits 2k bits, so strand rides in bit 0 of the payload when 2k+1
+    # <= 32, cutting the sort to two operands.
     M = max_minimizers
     mcount = jnp.sum(sel, axis=1).astype(jnp.int32)  # raw count (uncapped)
     ckey = jnp.where(sel, cols, cols + L)
-    ckey_s, x_s, strand_s = jax.lax.sort(
-        (ckey, jnp.where(sel, x, INF), strand), dimension=1, num_keys=1, is_stable=True
-    )
+    if 2 * k + 1 <= 32:
+        xs2 = (x << 1) | strand.astype(jnp.uint32)
+        ckey_s, xs2_s = jax.lax.sort(
+            (ckey, jnp.where(sel, xs2, INF)), dimension=1, num_keys=1, is_stable=True
+        )
+        x_s, strand_s = xs2_s >> 1, (xs2_s & 1).astype(jnp.int32)
+    else:
+        ckey_s, x_s, strand_s = jax.lax.sort(
+            (ckey, jnp.where(sel, x, INF), strand),
+            dimension=1, num_keys=1, is_stable=True,
+        )
     mhash = x_s[:, :M]
     mpos = jnp.where(ckey_s[:, :M] < L, ckey_s[:, :M], 0)
     mstrand = jnp.where(ckey_s[:, :M] < L, strand_s[:, :M], 0)

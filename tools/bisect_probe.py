@@ -18,6 +18,7 @@ index = build_index(targets, tnames, params)
 eng = DeviceOverlapEngine(index, batch_size=128, num_anchors=4096, window=64)
 gd = eng.gdev
 queries = B.make_reads(rng, genome, 1024, 2500, 0.05)
+queries.sort(key=len)  # mimic make_batches' length-sorted batching
 SUP, Bb, L, A, W = 8, 128, 4096, 4096, 64
 codes = np.full((SUP,Bb,L), 4, np.uint8); lengths = np.zeros((SUP,Bb), np.int32)
 for i,q in enumerate(queries):
@@ -96,3 +97,36 @@ for stage in ["occ", "expand", "gather", "sort"]:
     o = f(found, mps, qlen); jax.block_until_ready(o); t0=time.time()
     o = f(found, mps, qlen); jax.block_until_ready(o); t1=time.time()
     print(f"{stage}: {t1-t0:.3f}s", file=sys.stderr)
+
+# full map program (adds the chain DP scan + reduce on top of "sort")
+from lrge_tpu.ops.overlap_jax import map_found_many
+qdual = jnp.zeros((SUP, Bb), jnp.int32)
+qself = jnp.full((SUP, Bb), -1, jnp.int32)
+kw = dict(k=p.k, max_gap=p.max_gap, bw=p.bw, min_score=p.min_chain_score,
+          num_anchors=A, window=W, no_dual=p.no_dual, no_diag=p.no_diag,
+          max_chain_skip=p.max_chain_skip, packed_pos=True, use_pallas=False,
+          pallas_block=8, pallas_interpret=False,
+          packed_rid_bits=gd.packed_rid_bits, packed_dict_bits=gd.packed_dict_bits)
+for wp in (False, True):
+    args = (found, mps, qlen, qdual, qself,
+            gd.loocc[0] if gd.packed_dict_bits else gd.lo[0], gd.hi[0],
+            gd.rps if gd.packed_rid_bits else gd.rid, gd.pos, gd.pos, gd.rank,
+            jnp.float32(p.chn_pen_gap()))
+    o = map_found_many(*args, want_pairs=wp, **kw)
+    jax.block_until_ready(o); t0=time.time()
+    o = map_found_many(*args, want_pairs=wp, **kw)
+    jax.block_until_ready(o); t1=time.time()
+    print(f"full(want_pairs={wp}): {t1-t0:.3f}s", file=sys.stderr)
+
+# fused sketch+lookup program
+o = sketch_lookup_many(jnp.asarray(codes), jnp.asarray(lengths),
+    gd.uhash, gd.uoff, gd.boff, jnp.int32(gd.mid_occ),
+    k=p.k, w=p.w, bucket_bits=gd.bucket_bits, bucket_kmax=gd.bucket_kmax,
+    q_occ_frac=p.q_occ_frac)
+jax.block_until_ready(o); t0=time.time()
+o = sketch_lookup_many(jnp.asarray(codes), jnp.asarray(lengths),
+    gd.uhash, gd.uoff, gd.boff, jnp.int32(gd.mid_occ),
+    k=p.k, w=p.w, bucket_bits=gd.bucket_bits, bucket_kmax=gd.bucket_kmax,
+    q_occ_frac=p.q_occ_frac)
+jax.block_until_ready(o); t1=time.time()
+print(f"sketch_lookup: {t1-t0:.3f}s", file=sys.stderr)

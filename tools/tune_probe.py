@@ -40,10 +40,13 @@ baseline_counts = None
 for cfg in configs:
     kv = dict(item.split("=") for item in cfg.split(","))
     for env in ("LRGE_DEVICE_BATCH", "LRGE_DEVICE_SUPER", "LRGE_DEVICE_WINDOW",
-                "LRGE_DEVICE_ANCHORS", "LRGE_DEVICE_BUCKET", "LRGE_SUP_VMAP"):
+                "LRGE_DEVICE_ANCHORS", "LRGE_DEVICE_BUCKET", "LRGE_SUP_VMAP",
+                "LRGE_HOST_SHARE"):
         os.environ.pop(env, None)
     if "VMAP" in kv:
         os.environ["LRGE_SUP_VMAP"] = kv["VMAP"]
+    if "SHARE" in kv:
+        os.environ["LRGE_HOST_SHARE"] = kv["SHARE"]
     if "B" in kv:
         os.environ["LRGE_DEVICE_BATCH"] = kv["B"]
     if "SUPER" in kv:
