@@ -137,6 +137,12 @@ def main():
                     "total_wall_s": round(t_total, 2),
                     "map_s": round(t_map, 2),
                     "host_fallback_rows": int(res.fallback_rows),
+                    # heterogeneous split: rows deliberately counted by the
+                    # native host kernel CONCURRENTLY with device execution
+                    # (exact, same counts; see device_engine.py host-share)
+                    "host_share_rows": int(
+                        engine.fallback_triggers.get("host_share", 0)
+                    ),
                 },
             }
         )

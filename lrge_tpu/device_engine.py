@@ -177,7 +177,20 @@ class DeviceOverlapEngine:
             self.n_sub = max(1, int(np.ceil(exp_anchors / (0.6 * num_anchors))))
             from .ops.overlap_jax import GroupedDeviceIndex
 
-            self.gdev = GroupedDeviceIndex.from_host(index, self.n_sub)
+            # wider buckets shrink the linear-probe depth (bucket_kmax)
+            # of the dictionary lookup — each probe step is a [B, M]
+            # random gather, the lookup program's dominant cost.  Size
+            # the table at ~4 buckets per unique key (kmax ~7 on the
+            # bench index vs 14 at the old fixed 22 bits), capped so the
+            # offsets stay <= 256 MB.
+            if "LRGE_BUCKET_BITS" in os.environ:
+                bucket_bits = int(os.environ["LRGE_BUCKET_BITS"])
+            else:
+                bucket_bits = int(np.ceil(np.log2(max(n_uniq, 2)))) + 2
+                bucket_bits = min(max(bucket_bits, 12), 26)
+            self.gdev = GroupedDeviceIndex.from_host(
+                index, self.n_sub, bucket_bits=bucket_bits
+            )
             if self.gdev is None:
                 # every posting pruned by the occurrence cutoff
                 self.device_ok = False
@@ -219,9 +232,12 @@ class DeviceOverlapEngine:
     def _host_count_many(self, items):
         """Parallel exact host counting.
 
-        Threads only pay off with the native chain DP, which releases
-        the GIL; under the pure-numpy fallback DP the workers would
-        serialize on the GIL, so that path runs the loop inline.
+        Preferred path: the native whole-pipeline ``count_many`` kernel
+        (sketch -> lookup -> chain -> reduce entirely in C++, GIL-free,
+        threaded over queries).  Without it, threads only pay off with
+        the native chain DP, which releases the GIL; under the
+        pure-numpy fallback DP the workers would serialize on the GIL,
+        so that path runs the loop inline.
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -229,6 +245,12 @@ class DeviceOverlapEngine:
 
         from .native import native as _native
 
+        if (
+            _native is not None
+            and not self.params.hpc
+            and hasattr(_native, "count_many")
+        ):
+            return self.host.count_overlaps_many(items)
         if _native is None or len(items) <= 1:
             return [self._host_count(nm, sq) for nm, sq in items]
         with ThreadPoolExecutor(max_workers=min(os.cpu_count() or 2, len(items))) as ex:
@@ -336,7 +358,20 @@ class DeviceOverlapEngine:
         if not getattr(self, "_warming", False):
             from .native import native as _native
 
-            share = float(_os.environ.get("LRGE_HOST_SHARE", "0"))
+            # default 0.55 measured on v5e + 2-core host with the native
+            # count_many kernel (tools/tune_probe.py 2026-08-18: 3914 q/s
+            # vs 1815 device-only; both sides finish together); the
+            # optimum scales with host cores vs chip rate — tune via env
+            default_share = (
+                "0.55"
+                if (
+                    _native is not None
+                    and not self.pb_mode
+                    and hasattr(_native, "count_many")
+                )
+                else "0"
+            )
+            share = float(_os.environ.get("LRGE_HOST_SHARE", default_share))
             if share > 0 and _native is not None and len(dev_rows) >= 4 * self.batch_size:
                 k = int(len(dev_rows) * share)
                 if k:

@@ -274,6 +274,64 @@ class OverlapEngine:
         count = int((best >= self.params.min_chain_score).sum())
         return count, int(count > 0)
 
+    def count_overlaps_many(self, items, threads: int | None = None):
+        """Batch counting of ``[(name, seq), ...]`` -> ``[(count, had)]``.
+
+        Uses the native whole-pipeline kernel (sketch -> lookup ->
+        chain -> reduce, GIL-free and threaded over queries) when
+        available; semantics identical to per-read
+        :meth:`count_overlaps`.  HPC presets and the no-native build
+        fall back to the Python loop.
+        """
+        from .native import native
+
+        p = self.params
+        if native is None or p.hpc or not hasattr(native, "count_many"):
+            return [self.count_overlaps(nm, sq) for nm, sq in items]
+        import os
+
+        n = len(items)
+        if n == 0:
+            return []
+        seqs = [bytes(sq) for _, sq in items]
+        dualrank = np.array(
+            [self._dual_rank(nm) if p.no_dual else 0 for nm, _ in items],
+            dtype=np.int32,
+        )
+        selfrid = np.array(
+            [self._name_to_rid.get(nm, -1) for nm, _ in items], dtype=np.int32
+        )
+        counts = np.zeros(n, dtype=np.int32)
+        had = np.zeros(n, dtype=np.uint8)
+        idx = self.index
+        native.count_many(
+            seqs,
+            np.ascontiguousarray(dualrank),
+            np.ascontiguousarray(selfrid),
+            np.ascontiguousarray(idx.keys),
+            np.ascontiguousarray(idx.rid.astype(np.int32, copy=False)),
+            np.ascontiguousarray(idx.pos.astype(np.int32, copy=False)),
+            np.ascontiguousarray(idx.strand.astype(np.int8, copy=False)),
+            np.ascontiguousarray(idx.name_rank),
+            int(idx.mid_occ),
+            p.k,
+            p.w,
+            p.max_gap,
+            p.bw,
+            p.max_chain_iter,
+            p.max_chain_skip,
+            np.float32(p.chn_pen_gap()),
+            np.float32(p.chn_pen_skip()),
+            p.min_chain_score,
+            np.float32(p.q_occ_frac),
+            int(p.no_dual),
+            int(p.no_diag),
+            threads or os.cpu_count() or 1,
+            counts,
+            had,
+        )
+        return [(int(c), int(h)) for c, h in zip(counts, had)]
+
 
 def build_engine(seqs, names, params: OverlapParams) -> OverlapEngine:
     return OverlapEngine(build_index(seqs, names, params))

@@ -381,29 +381,15 @@ inline float mg_log2f(float x) {
   return log_2;
 }
 
-// chain_dp(key2, rpos, qpos, span, n, max_gap, bw, max_iter, max_skip,
-//          chn_pen_gap, chn_pen_skip, f_out, p_out)
-// key2 groups (rid,strand); all i32 buffers except f/p which are i64.
-// Models mm_chain_dp exactly, including the max_chain_skip early break
-// (t-mark array + floored skip counter).
-PyObject* py_chain_dp(PyObject*, PyObject* args) {
-  Py_buffer key2, rpos, qpos, span, fbuf, pbuf;
-  Py_ssize_t n;
-  int max_gap, bw, max_iter, max_skip;
-  float pen_gap, pen_skip;
-  if (!PyArg_ParseTuple(args, "y*y*y*y*niiiiffy*y*", &key2, &rpos, &qpos, &span,
-                        &n, &max_gap, &bw, &max_iter, &max_skip, &pen_gap,
-                        &pen_skip, &fbuf, &pbuf))
-    return nullptr;
-  const int32_t* K = (const int32_t*)key2.buf;
-  const int32_t* R = (const int32_t*)rpos.buf;
-  const int32_t* Q = (const int32_t*)qpos.buf;
-  const int32_t* S = (const int32_t*)span.buf;
-  int64_t* F = (int64_t*)fbuf.buf;
-  int64_t* P = (int64_t*)pbuf.buf;
+// mm_chain_dp inner loop (shared by py_chain_dp and count_many):
+// fills F/P for n anchors sorted by (key2, rpos), stable in seed order.
+// tmark must be size >= n and is reset here.
+void chain_dp_raw(const int32_t* K, const int32_t* R, const int32_t* Q,
+                  const int32_t* S, Py_ssize_t n, int max_gap, int bw,
+                  int max_iter, int max_skip, float pen_gap, float pen_skip,
+                  int64_t* F, int64_t* P, std::vector<Py_ssize_t>& tmark) {
+  tmark.assign(n, -1);
   Py_ssize_t st = 0;
-  Py_BEGIN_ALLOW_THREADS
-  std::vector<Py_ssize_t> tmark(n, -1);
   for (Py_ssize_t i = 0; i < n; ++i) {
     while (st < i && (K[st] != K[i] || R[i] > R[st] + max_gap)) ++st;
     Py_ssize_t lo = st;
@@ -439,6 +425,33 @@ PyObject* py_chain_dp(PyObject*, PyObject* args) {
     F[i] = best;
     P[i] = bestj;
   }
+}
+
+// chain_dp(key2, rpos, qpos, span, n, max_gap, bw, max_iter, max_skip,
+//          chn_pen_gap, chn_pen_skip, f_out, p_out)
+// key2 groups (rid,strand); all i32 buffers except f/p which are i64.
+// Models mm_chain_dp exactly, including the max_chain_skip early break
+// (t-mark array + floored skip counter).
+PyObject* py_chain_dp(PyObject*, PyObject* args) {
+  Py_buffer key2, rpos, qpos, span, fbuf, pbuf;
+  Py_ssize_t n;
+  int max_gap, bw, max_iter, max_skip;
+  float pen_gap, pen_skip;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*niiiiffy*y*", &key2, &rpos, &qpos, &span,
+                        &n, &max_gap, &bw, &max_iter, &max_skip, &pen_gap,
+                        &pen_skip, &fbuf, &pbuf))
+    return nullptr;
+  const int32_t* K = (const int32_t*)key2.buf;
+  const int32_t* R = (const int32_t*)rpos.buf;
+  const int32_t* Q = (const int32_t*)qpos.buf;
+  const int32_t* S = (const int32_t*)span.buf;
+  int64_t* F = (int64_t*)fbuf.buf;
+  int64_t* P = (int64_t*)pbuf.buf;
+  Py_BEGIN_ALLOW_THREADS {
+    std::vector<Py_ssize_t> tmark;
+    chain_dp_raw(K, R, Q, S, n, max_gap, bw, max_iter, max_skip, pen_gap,
+                 pen_skip, F, P, tmark);
+  }
   Py_END_ALLOW_THREADS
   PyBuffer_Release(&key2);
   PyBuffer_Release(&rpos);
@@ -446,6 +459,205 @@ PyObject* py_chain_dp(PyObject*, PyObject* args) {
   PyBuffer_Release(&span);
   PyBuffer_Release(&fbuf);
   PyBuffer_Release(&pbuf);
+  Py_RETURN_NONE;
+}
+
+// ---------------------------------------------------------------------
+// whole-pipeline overlap counting: sketch -> index lookup -> anchor
+// expansion + masks -> (rid,strand,rpos) stable sort -> chain DP ->
+// per-rid best-score reduction.  GIL-free and threaded over queries —
+// the exact semantics of OverlapEngine.count_overlaps' fast path
+// (engine.py), which collect_anchors/chain_dp oracle-test against
+// minimap2's loop.  ONT presets only (constant spans; callers gate HPC
+// to the Python path).
+// ---------------------------------------------------------------------
+
+struct CountScratch {
+  std::vector<MiniMM> mz;
+  std::vector<uint64_t> hsorted;
+  std::vector<int32_t> a_rid, a_rpos, a_qpos, a_span, key2;
+  std::vector<int32_t> order;
+  std::vector<int64_t> F, P;
+  std::vector<Py_ssize_t> tmark;
+};
+
+void count_one(const unsigned char* seq, int64_t qlen, int32_t dualrank,
+               int32_t selfrid, const uint64_t* keys, const int32_t* irid,
+               const int32_t* ipos, const signed char* istrand,
+               const int32_t* name_rank, Py_ssize_t npost, int64_t mid_occ,
+               int k, int w, int max_gap, int bw, int max_iter, int max_skip,
+               float pen_gap, float pen_skip, int min_score, float q_occ_frac,
+               int no_dual, int no_diag, CountScratch& s, int32_t* count_out,
+               unsigned char* had_out) {
+  *count_out = 0;
+  *had_out = 0;
+  s.mz.clear();
+  sketch_one(seq, qlen, k, w, /*hpc=*/false, s.mz);
+  Py_ssize_t m = (Py_ssize_t)s.mz.size();
+  if (m == 0) return;
+  // mm_seed_mz_flt (q_occ_frac): within-query occurrence counts
+  bool use_qflt = q_occ_frac > 0.0f && mid_occ > 0 && m > mid_occ;
+  if (use_qflt) {
+    s.hsorted.resize(m);
+    for (Py_ssize_t j = 0; j < m; ++j) s.hsorted[j] = s.mz[j].key >> 8;
+    std::sort(s.hsorted.begin(), s.hsorted.end());
+  }
+  s.a_rid.clear();
+  s.a_rpos.clear();
+  s.a_qpos.clear();
+  s.a_span.clear();
+  for (Py_ssize_t j = 0; j < m; ++j) {
+    uint64_t h = s.mz[j].key >> 8;
+    int32_t span = (int32_t)(s.mz[j].key & 0xFF);
+    if (use_qflt) {
+      auto lohi = std::equal_range(s.hsorted.begin(), s.hsorted.end(), h);
+      int64_t c = lohi.second - lohi.first;
+      // float32 comparison order matches the numpy oracle
+      if (c > mid_occ && (float)c > (float)m * q_occ_frac) continue;
+    }
+    auto lohi = std::equal_range(keys, keys + npost, h);
+    int64_t occ = lohi.second - lohi.first;
+    if (occ == 0 || occ > mid_occ) continue;  // miss / repetitive (rep_len)
+    Py_ssize_t start = lohi.first - keys;
+    int32_t qpos_j = (int32_t)s.mz[j].pos;
+    int32_t z = s.mz[j].z;
+    for (Py_ssize_t t = start; t < start + occ; ++t) {
+      int32_t rid = irid[t];
+      int32_t rel = (int32_t)(istrand[t] ^ (signed char)z) & 1;
+      int32_t rpos = ipos[t];
+      int32_t qp = rel == 0 ? qpos_j : (int32_t)(qlen - (qpos_j + 1 - span) - 1);
+      if (no_dual && name_rank[rid] < dualrank) continue;
+      if (no_diag && rid == selfrid && rel == 0 && rpos == qp) continue;
+      s.a_rid.push_back(rid);
+      s.a_rpos.push_back(rpos);
+      s.a_qpos.push_back(qp);
+      s.a_span.push_back(span | (rel << 24));  // rel rides high bits
+    }
+  }
+  Py_ssize_t n = (Py_ssize_t)s.a_rid.size();
+  if (n == 0) return;
+  // stable sort by (rid, strand, rpos); ties keep seed order
+  s.order.resize(n);
+  for (Py_ssize_t i = 0; i < n; ++i) s.order[i] = (int32_t)i;
+  std::stable_sort(s.order.begin(), s.order.end(),
+                   [&](int32_t a, int32_t b) {
+                     if (s.a_rid[a] != s.a_rid[b]) return s.a_rid[a] < s.a_rid[b];
+                     int32_t sa = s.a_span[a] >> 24, sb = s.a_span[b] >> 24;
+                     if (sa != sb) return sa < sb;
+                     return s.a_rpos[a] < s.a_rpos[b];
+                   });
+  s.key2.resize(n);
+  std::vector<int32_t>&R = s.a_rpos, &Q = s.a_qpos;
+  static thread_local std::vector<int32_t> rs, qs, ss, rids;
+  rs.resize(n);
+  qs.resize(n);
+  ss.resize(n);
+  rids.resize(n);
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    int32_t o = s.order[i];
+    rids[i] = s.a_rid[o];
+    s.key2[i] = s.a_rid[o] * 2 + (s.a_span[o] >> 24);
+    rs[i] = R[o];
+    qs[i] = Q[o];
+    ss[i] = s.a_span[o] & 0xFFFFFF;
+  }
+  s.F.assign(n, 0);
+  s.P.assign(n, -1);
+  chain_dp_raw(s.key2.data(), rs.data(), qs.data(), ss.data(), n, max_gap, bw,
+               max_iter, max_skip, pen_gap, pen_skip, s.F.data(), s.P.data(),
+               s.tmark);
+  // per-rid best score; count rids whose best passes min_score
+  int32_t count = 0;
+  Py_ssize_t i = 0;
+  while (i < n) {
+    int32_t rid = rids[i];
+    int64_t best = s.F[i];
+    Py_ssize_t j = i + 1;
+    for (; j < n && rids[j] == rid; ++j)
+      if (s.F[j] > best) best = s.F[j];
+    if (best >= min_score) ++count;
+    i = j;
+  }
+  *count_out = count;
+  *had_out = count > 0 ? 1 : 0;
+}
+
+// count_many(seqs, dualrank_i32, selfrid_i32, keys_u64, rid_i32, pos_i32,
+//            strand_i8, name_rank_i32, mid_occ, k, w, max_gap, bw,
+//            max_iter, max_skip, pen_gap, pen_skip, min_score, q_occ_frac,
+//            no_dual, no_diag, threads, counts_out_i32, had_out_u8)
+PyObject* py_count_many(PyObject*, PyObject* args) {
+  PyObject* seq_list;
+  Py_buffer dualrank, selfrid, keys, irid, ipos, istrand, name_rank;
+  long long mid_occ;
+  int k, w, max_gap, bw, max_iter, max_skip, min_score, no_dual, no_diag,
+      threads;
+  float pen_gap, pen_skip, q_occ_frac;
+  Py_buffer counts_out, had_out;
+  if (!PyArg_ParseTuple(args, "O!y*y*y*y*y*y*y*Liiiiiiffifiiiy*y*",
+                        &PyList_Type, &seq_list, &dualrank, &selfrid, &keys,
+                        &irid, &ipos, &istrand, &name_rank, &mid_occ, &k, &w,
+                        &max_gap, &bw, &max_iter, &max_skip, &pen_gap,
+                        &pen_skip, &min_score, &q_occ_frac, &no_dual, &no_diag,
+                        &threads, &counts_out, &had_out))
+    return nullptr;
+  Py_ssize_t nreads = PyList_GET_SIZE(seq_list);
+  std::vector<const unsigned char*> ptrs(nreads);
+  std::vector<int64_t> lens(nreads);
+  bool bad = false;
+  for (Py_ssize_t i = 0; i < nreads; ++i) {
+    PyObject* o = PyList_GET_ITEM(seq_list, i);
+    char* p;
+    Py_ssize_t ln;
+    if (PyBytes_AsStringAndSize(o, &p, &ln) != 0) {
+      bad = true;
+      break;
+    }
+    ptrs[i] = (const unsigned char*)p;
+    lens[i] = ln;
+  }
+  if (!bad) {
+    const int32_t* dr = (const int32_t*)dualrank.buf;
+    const int32_t* sr = (const int32_t*)selfrid.buf;
+    const uint64_t* K = (const uint64_t*)keys.buf;
+    const int32_t* IR = (const int32_t*)irid.buf;
+    const int32_t* IP = (const int32_t*)ipos.buf;
+    const signed char* IS = (const signed char*)istrand.buf;
+    const int32_t* NR = (const int32_t*)name_rank.buf;
+    Py_ssize_t npost = keys.len / 8;
+    int32_t* CO = (int32_t*)counts_out.buf;
+    unsigned char* HO = (unsigned char*)had_out.buf;
+    if (threads < 1) threads = 1;
+    Py_BEGIN_ALLOW_THREADS {
+      int nt = std::min<int>(threads, std::max<int>(1, (int)nreads));
+      std::vector<std::thread> pool;
+      std::atomic<Py_ssize_t> next(0);
+      for (int t = 0; t < nt; ++t)
+        pool.emplace_back([&]() {
+          CountScratch scratch;
+          for (;;) {
+            Py_ssize_t i = next.fetch_add(1);
+            if (i >= nreads) break;
+            count_one(ptrs[i], lens[i], dr[i], sr[i], K, IR, IP, IS, NR,
+                      npost, mid_occ, k, w, max_gap, bw, max_iter, max_skip,
+                      pen_gap, pen_skip, min_score, q_occ_frac, no_dual,
+                      no_diag, scratch, &CO[i], &HO[i]);
+          }
+        });
+      for (auto& th : pool) th.join();
+    }
+    Py_END_ALLOW_THREADS
+  }
+  PyBuffer_Release(&dualrank);
+  PyBuffer_Release(&selfrid);
+  PyBuffer_Release(&keys);
+  PyBuffer_Release(&irid);
+  PyBuffer_Release(&ipos);
+  PyBuffer_Release(&istrand);
+  PyBuffer_Release(&name_rank);
+  PyBuffer_Release(&counts_out);
+  PyBuffer_Release(&had_out);
+  if (bad) return nullptr;
   Py_RETURN_NONE;
 }
 
@@ -461,6 +673,11 @@ PyMethodDef methods[] = {
     {"chain_dp", py_chain_dp, METH_VARARGS,
      "chain_dp(key2,rpos,qpos,span,n,max_gap,bw,max_iter,max_skip,pen_gap,"
      "pen_skip,f_out,p_out)"},
+    {"count_many", py_count_many, METH_VARARGS,
+     "count_many(seqs,dualrank,selfrid,keys,rid,pos,strand,name_rank,"
+     "mid_occ,k,w,max_gap,bw,max_iter,max_skip,pen_gap,pen_skip,min_score,"
+     "q_occ_frac,no_dual,no_diag,threads,counts_out,had_out) — GIL-free "
+     "threaded overlap counting (ONT fast path)"},
     {nullptr, nullptr, 0, nullptr},
 };
 

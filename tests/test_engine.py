@@ -155,3 +155,44 @@ class TestHpcPreset:
         q = targets[3][200:1400]
         recs = engine.map_read(b"hpcq", q)
         assert any(r.target_name == names[3] for r in recs)
+
+
+def test_count_overlaps_many_matches_per_read():
+    # the native whole-pipeline count_many kernel must reproduce the
+    # per-read Python path exactly, including no-dual/self masks and the
+    # q_occ filter (repeat-rich corpus)
+    import numpy as np
+
+    from lrge_tpu.engine import OverlapEngine
+    from lrge_tpu.ops.index import build_index
+    from lrge_tpu.platform import Platform, preset_for
+
+    rng = np.random.default_rng(77)
+    genome = bytearray(rng.choice(list(b"ACGT"), size=120_000).tolist())
+    unit = bytes(rng.choice(list(b"ACGT"), size=300).tolist())
+    genome[40_000:41_500] = unit * 5
+    genome = bytes(genome)
+
+    def reads(n, L, err, tag):
+        out = []
+        g = np.frombuffer(genome, np.uint8)
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        for i in range(n):
+            pos = int(rng.integers(0, len(genome) - L))
+            arr = g[pos : pos + L].copy()
+            ne = rng.binomial(L, err)
+            arr[rng.integers(0, L, size=ne)] = bases[rng.integers(0, 4, size=ne)]
+            out.append((b"%s%d" % (tag, i), arr.tobytes()))
+        return out
+
+    targets = reads(150, 1800, 0.08, b"t")
+    queries = reads(60, 2200, 0.08, b"q")
+    for dual in (True, False):
+        params = preset_for(Platform.NANOPORE, dual=dual)
+        index = build_index([s for _, s in targets], [n for n, _ in targets], params)
+        host = OverlapEngine(index)
+        # include indexed reads so self/no-dual masks are exercised
+        items = queries + targets[:30]
+        ref = [tuple(map(int, host.count_overlaps(nm, sq))) for nm, sq in items]
+        got = host.count_overlaps_many(items)
+        assert got == ref
