@@ -192,3 +192,29 @@ class TestDeviceVsHost:
         assert pairs_map.keys() == pairs_vmap.keys()
         for q in pairs_map:
             assert np.array_equal(np.sort(pairs_map[q]), np.sort(pairs_vmap[q]))
+
+    def test_host_share_split_matches_device_only(self, corpus, monkeypatch):
+        # the heterogeneous host+device split is a scheduling decision:
+        # counts must equal the device-only run row-for-row, and the
+        # share rows must be accounted under their own trigger
+        targets, tnames, queries, qnames = corpus
+        # enough rows to cross the 4*batch_size activation gate
+        qnames = qnames * 3
+        queries = queries * 3
+        qnames = [b"s%d_" % i + n for i, n in enumerate(qnames)]
+        params = preset_for(Platform.NANOPORE, dual=True)
+        index = build_index(targets, tnames, params)
+        monkeypatch.setenv("LRGE_SHARDS", "1")
+        monkeypatch.setenv("LRGE_HOST_SHARE", "0")
+        dev0 = DeviceOverlapEngine(index, batch_size=16, num_anchors=4096, window=128)
+        res0 = dev0.count_batch(qnames, queries)
+        monkeypatch.setenv("LRGE_HOST_SHARE", "0.5")
+        dev1 = DeviceOverlapEngine(index, batch_size=16, num_anchors=4096, window=128)
+        res1 = dev1.count_batch(qnames, queries)
+        assert dev1.fallback_triggers.get("host_share", 0) >= len(queries) // 3
+        # host-share rows are scheduled work, not fallback (the count can
+        # only shrink: rows that would have window-missed on device may
+        # now be share rows)
+        assert res1.fallback_rows <= res0.fallback_rows
+        assert np.array_equal(res0.counts, res1.counts)
+        assert np.array_equal(res0.had_mapping, res1.had_mapping)
