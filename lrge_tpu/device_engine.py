@@ -372,6 +372,11 @@ class DeviceOverlapEngine:
                 else "0"
             )
             share = float(_os.environ.get("LRGE_HOST_SHARE", default_share))
+            if collect_pairs is not None:
+                # pair collection (ava) needs per-target ids, which
+                # count_many does not produce — share rows would fall to
+                # the slow per-read map_read recovery, a net loss
+                share = 0.0
             if share > 0 and _native is not None and len(dev_rows) >= 4 * self.batch_size:
                 k = int(len(dev_rows) * share)
                 if k:

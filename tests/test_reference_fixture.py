@@ -46,3 +46,12 @@ def test_toy_bam_larger_sample_oracle(tmp_path):
     rc = main([str(TOY_BAM), "-T", "50", "-Q", "25", "--seed", "1", "-o", str(out), "-qqq"])
     assert rc == 0
     assert out.read_text().strip() == "72381"
+
+
+def test_toy_bam_ava_oracle(tmp_path):
+    # All-vs-all strategy on the reference fixture; exact value pinned
+    # as a drift tripwire (60 reads, seed 3).
+    out = tmp_path / "size.txt"
+    rc = main([str(TOY_BAM), "-n", "60", "--seed", "3", "-o", str(out), "-qqq"])
+    assert rc == 0
+    assert out.read_text().strip() == "134408"
