@@ -256,6 +256,23 @@ class DeviceOverlapEngine:
         with ThreadPoolExecutor(max_workers=min(os.cpu_count() or 2, len(items))) as ex:
             return list(ex.map(lambda t: self._host_count(*t), items))
 
+    def _has_native_pairs(self) -> bool:
+        from .native import native as _native
+
+        return (
+            _native is not None
+            and not self.params.hpc
+            and hasattr(_native, "count_many")
+        )
+
+    def _host_count_pairs(self, items):
+        """``(count, had, rids|None)`` triples; rids is None when the
+        native pairs kernel is unavailable or a row truncated (callers
+        recover those rows with the full map path)."""
+        if self._has_native_pairs():
+            return self.host.count_overlaps_many(items, want_pairs=True)
+        return [(c, h, None) for c, h in self._host_count_many(items)]
+
     def _sharded_group(self, mhash, mpos, mstrand, lengths, dual, selfr, nb):
         """Dispatch one super-batch group through the sharded mesh fn,
         returning arrays shaped like a map_many sub-result
@@ -323,9 +340,18 @@ class DeviceOverlapEngine:
         phases = {"prep": 0.0, "enqueue": 0.0, "collect": 0.0, "retry": 0.0}
         _t0 = _time.perf_counter()
         if not self.device_ok:
-            results = self._host_count_many(list(zip(names, seqs)))
-            for i, (c, h) in enumerate(results):
-                counts[i], had[i] = c, h
+            if collect_pairs is not None:
+                for i, (c, h, rids) in enumerate(
+                    self._host_count_pairs(list(zip(names, seqs)))
+                ):
+                    counts[i], had[i] = c, h
+                    if rids is not None:
+                        collect_pairs[i] = rids
+            else:
+                for i, (c, h) in enumerate(
+                    self._host_count_many(list(zip(names, seqs)))
+                ):
+                    counts[i], had[i] = c, h
             return BatchCounts(counts, had, n)
 
         from .utils.jaxcache import enable_cache
@@ -372,10 +398,10 @@ class DeviceOverlapEngine:
                 else "0"
             )
             share = float(_os.environ.get("LRGE_HOST_SHARE", default_share))
-            if collect_pairs is not None:
-                # pair collection (ava) needs per-target ids, which
-                # count_many does not produce — share rows would fall to
-                # the slow per-read map_read recovery, a net loss
+            if collect_pairs is not None and not self._has_native_pairs():
+                # pair collection (ava) needs per-target ids; without the
+                # native pairs kernel, share rows would fall to the slow
+                # per-read map_read recovery — a net loss
                 share = 0.0
             if share > 0 and _native is not None and len(dev_rows) >= 4 * self.batch_size:
                 k = int(len(dev_rows) * share)
@@ -397,11 +423,12 @@ class DeviceOverlapEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         host_rows_all = long_rows + host_share_rows
+        host_fn = (
+            self._host_count_pairs if collect_pairs is not None else self._host_count_many
+        )
         long_pool = ThreadPoolExecutor(1) if host_rows_all else None
         long_future = (
-            long_pool.submit(
-                self._host_count_many, [(names[i], seqs[i]) for i in host_rows_all]
-            )
+            long_pool.submit(host_fn, [(names[i], seqs[i]) for i in host_rows_all])
             if host_rows_all
             else None
         )
@@ -609,15 +636,19 @@ class DeviceOverlapEngine:
             _tb = _now
         phases["collect"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
-        for qid, (c, h) in zip(
-            retry, self._host_count_many([(names[i], seqs[i]) for i in retry])
+        for qid, res_h in zip(
+            retry, host_fn([(names[i], seqs[i]) for i in retry])
         ):
-            counts[qid], had[qid] = c, h
+            counts[qid], had[qid] = res_h[0], res_h[1]
+            if collect_pairs is not None and res_h[2] is not None:
+                collect_pairs[qid] = res_h[2]
             fallback += 1
         if long_future is not None:
             share_set = set(host_share_rows)
-            for i, (c, h) in zip(host_rows_all, long_future.result()):
-                counts[i], had[i] = c, h
+            for i, res_h in zip(host_rows_all, long_future.result()):
+                counts[i], had[i] = res_h[0], res_h[1]
+                if collect_pairs is not None and res_h[2] is not None:
+                    collect_pairs[i] = res_h[2]
                 if i in share_set:
                     # deliberate heterogeneous scheduling, not a fallback
                     self.fallback_triggers["host_share"] += 1

@@ -274,7 +274,9 @@ class OverlapEngine:
         count = int((best >= self.params.min_chain_score).sum())
         return count, int(count > 0)
 
-    def count_overlaps_many(self, items, threads: int | None = None):
+    def count_overlaps_many(
+        self, items, threads: int | None = None, want_pairs: bool = False
+    ):
         """Batch counting of ``[(name, seq), ...]`` -> ``[(count, had)]``.
 
         Uses the native whole-pipeline kernel (sketch -> lookup ->
@@ -282,12 +284,20 @@ class OverlapEngine:
         available; semantics identical to per-read
         :meth:`count_overlaps`.  HPC presets and the no-native build
         fall back to the Python loop.
+
+        With ``want_pairs`` the return is ``[(count, had, rids)]`` where
+        ``rids`` is the passing target-id array (None when truncated at
+        the 1024-pair cap or on the fallback path — callers recover
+        those rows with :meth:`map_read`).
         """
         from .native import native
 
         p = self.params
         if native is None or p.hpc or not hasattr(native, "count_many"):
-            return [self.count_overlaps(nm, sq) for nm, sq in items]
+            res = [self.count_overlaps(nm, sq) for nm, sq in items]
+            if want_pairs:
+                return [(c, h, None) for c, h in res]
+            return res
         import os
 
         n = len(items)
@@ -303,6 +313,9 @@ class OverlapEngine:
         )
         counts = np.zeros(n, dtype=np.int32)
         had = np.zeros(n, dtype=np.uint8)
+        PMAX = 1024
+        pairs = np.empty((n, PMAX), dtype=np.int32) if want_pairs else None
+        extra = (pairs, PMAX) if want_pairs else ()
         idx = self.index
         native.count_many(
             seqs,
@@ -329,7 +342,15 @@ class OverlapEngine:
             threads or os.cpu_count() or 1,
             counts,
             had,
+            *extra,
         )
+        if want_pairs:
+            out = []
+            for i, (c, h) in enumerate(zip(counts, had)):
+                r = pairs[i]
+                r = r[r >= 0]
+                out.append((int(c), int(h), r if len(r) == c else None))
+            return out
         return [(int(c), int(h)) for c, h in zip(counts, had)]
 
 

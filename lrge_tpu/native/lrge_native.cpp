@@ -488,7 +488,7 @@ void count_one(const unsigned char* seq, int64_t qlen, int32_t dualrank,
                int k, int w, int max_gap, int bw, int max_iter, int max_skip,
                float pen_gap, float pen_skip, int min_score, float q_occ_frac,
                int no_dual, int no_diag, CountScratch& s, int32_t* count_out,
-               unsigned char* had_out) {
+               unsigned char* had_out, int32_t* pairs_out, int pmax) {
   *count_out = 0;
   *had_out = 0;
   s.mz.clear();
@@ -575,7 +575,10 @@ void count_one(const unsigned char* seq, int64_t qlen, int32_t dualrank,
     Py_ssize_t j = i + 1;
     for (; j < n && rids[j] == rid; ++j)
       if (s.F[j] > best) best = s.F[j];
-    if (best >= min_score) ++count;
+    if (best >= min_score) {
+      if (pairs_out && count < pmax) pairs_out[count] = rid;
+      ++count;
+    }
     i = j;
   }
   *count_out = count;
@@ -585,7 +588,11 @@ void count_one(const unsigned char* seq, int64_t qlen, int32_t dualrank,
 // count_many(seqs, dualrank_i32, selfrid_i32, keys_u64, rid_i32, pos_i32,
 //            strand_i8, name_rank_i32, mid_occ, k, w, max_gap, bw,
 //            max_iter, max_skip, pen_gap, pen_skip, min_score, q_occ_frac,
-//            no_dual, no_diag, threads, counts_out_i32, had_out_u8)
+//            no_dual, no_diag, threads, counts_out_i32, had_out_u8
+//            [, pairs_out_i32, pmax])
+// pairs_out (optional): [n*pmax] int32, -1-padded passing target rids
+// per query in ascending-rid order; rows with count > pmax are
+// truncated (detectable by the caller: count vs emitted rids).
 PyObject* py_count_many(PyObject*, PyObject* args) {
   PyObject* seq_list;
   Py_buffer dualrank, selfrid, keys, irid, ipos, istrand, name_rank;
@@ -594,12 +601,15 @@ PyObject* py_count_many(PyObject*, PyObject* args) {
       threads;
   float pen_gap, pen_skip, q_occ_frac;
   Py_buffer counts_out, had_out;
-  if (!PyArg_ParseTuple(args, "O!y*y*y*y*y*y*y*Liiiiiiffifiiiy*y*",
+  Py_buffer pairs_out;
+  pairs_out.buf = nullptr;
+  int pmax = 0;
+  if (!PyArg_ParseTuple(args, "O!y*y*y*y*y*y*y*Liiiiiiffifiiiy*y*|y*i",
                         &PyList_Type, &seq_list, &dualrank, &selfrid, &keys,
                         &irid, &ipos, &istrand, &name_rank, &mid_occ, &k, &w,
                         &max_gap, &bw, &max_iter, &max_skip, &pen_gap,
                         &pen_skip, &min_score, &q_occ_frac, &no_dual, &no_diag,
-                        &threads, &counts_out, &had_out))
+                        &threads, &counts_out, &had_out, &pairs_out, &pmax))
     return nullptr;
   Py_ssize_t nreads = PyList_GET_SIZE(seq_list);
   std::vector<const unsigned char*> ptrs(nreads);
@@ -627,6 +637,8 @@ PyObject* py_count_many(PyObject*, PyObject* args) {
     Py_ssize_t npost = keys.len / 8;
     int32_t* CO = (int32_t*)counts_out.buf;
     unsigned char* HO = (unsigned char*)had_out.buf;
+    int32_t* PO = pairs_out.buf ? (int32_t*)pairs_out.buf : nullptr;
+    if (PO) memset(PO, 0xFF, (size_t)nreads * pmax * 4);  // -1 padding
     if (threads < 1) threads = 1;
     Py_BEGIN_ALLOW_THREADS {
       int nt = std::min<int>(threads, std::max<int>(1, (int)nreads));
@@ -641,7 +653,8 @@ PyObject* py_count_many(PyObject*, PyObject* args) {
             count_one(ptrs[i], lens[i], dr[i], sr[i], K, IR, IP, IS, NR,
                       npost, mid_occ, k, w, max_gap, bw, max_iter, max_skip,
                       pen_gap, pen_skip, min_score, q_occ_frac, no_dual,
-                      no_diag, scratch, &CO[i], &HO[i]);
+                      no_diag, scratch, &CO[i], &HO[i],
+                      PO ? PO + (size_t)i * pmax : nullptr, pmax);
           }
         });
       for (auto& th : pool) th.join();
@@ -657,6 +670,7 @@ PyObject* py_count_many(PyObject*, PyObject* args) {
   PyBuffer_Release(&name_rank);
   PyBuffer_Release(&counts_out);
   PyBuffer_Release(&had_out);
+  if (pairs_out.buf) PyBuffer_Release(&pairs_out);
   if (bad) return nullptr;
   Py_RETURN_NONE;
 }

@@ -218,3 +218,28 @@ class TestDeviceVsHost:
         assert res1.fallback_rows <= res0.fallback_rows
         assert np.array_equal(res0.counts, res1.counts)
         assert np.array_equal(res0.had_mapping, res1.had_mapping)
+
+    def test_host_share_pairs_match_device_only(self, corpus, monkeypatch):
+        # ava's pair collection under the heterogeneous split: share rows
+        # get their pair lists from the native kernel and must equal the
+        # device-only run
+        targets, tnames, queries, qnames = corpus
+        qnames = qnames * 3
+        queries = queries * 3
+        qnames = [b"p%d_" % i + n for i, n in enumerate(qnames)]
+        params = preset_for(Platform.NANOPORE, dual=False)
+        index = build_index(targets[:60], tnames[:60], params)
+        monkeypatch.setenv("LRGE_SHARDS", "1")
+        monkeypatch.setenv("LRGE_HOST_SHARE", "0")
+        dev0 = DeviceOverlapEngine(index, batch_size=16, num_anchors=4096, window=128)
+        p0 = {}
+        res0 = dev0.count_batch(qnames, queries, collect_pairs=p0)
+        monkeypatch.setenv("LRGE_HOST_SHARE", "0.5")
+        dev1 = DeviceOverlapEngine(index, batch_size=16, num_anchors=4096, window=128)
+        p1 = {}
+        res1 = dev1.count_batch(qnames, queries, collect_pairs=p1)
+        assert dev1.fallback_triggers.get("host_share", 0) > 0
+        assert np.array_equal(res0.counts, res1.counts)
+        assert p0.keys() == p1.keys()
+        for q in p0:
+            assert np.array_equal(np.sort(p0[q]), np.sort(p1[q])), q

@@ -196,3 +196,43 @@ def test_count_overlaps_many_matches_per_read():
         ref = [tuple(map(int, host.count_overlaps(nm, sq))) for nm, sq in items]
         got = host.count_overlaps_many(items)
         assert got == ref
+
+
+def test_count_overlaps_many_pairs_match_map_read():
+    # want_pairs must emit exactly the passing target-id set of the full
+    # map path (ava's symmetric counting consumes these)
+    import numpy as np
+
+    from lrge_tpu.engine import OverlapEngine
+    from lrge_tpu.ops.index import build_index
+    from lrge_tpu.platform import Platform, preset_for
+
+    rng = np.random.default_rng(123)
+    genome = bytes(rng.choice(list(b"ACGT"), size=90_000).tolist())
+
+    def reads(n, L, err, tag):
+        out = []
+        g = np.frombuffer(genome, np.uint8)
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        for i in range(n):
+            pos = int(rng.integers(0, len(genome) - L))
+            arr = g[pos : pos + L].copy()
+            ne = rng.binomial(L, err)
+            arr[rng.integers(0, L, size=ne)] = bases[rng.integers(0, 4, size=ne)]
+            out.append((b"%s%d" % (tag, i), arr.tobytes()))
+        return out
+
+    targets = reads(120, 1800, 0.08, b"r")
+    params = preset_for(Platform.NANOPORE, dual=False)  # ava preset: no_dual
+    index = build_index([s for _, s in targets], [n for n, _ in targets], params)
+    host = OverlapEngine(index)
+    items = targets[:50]
+    res = host.count_overlaps_many(items, want_pairs=True)
+    name_to_rid = {n: i for i, n in enumerate(index.names)}
+    for (nm, sq), (c, h, rids) in zip(items, res):
+        recs = host.map_read(nm, sq)
+        expect = sorted({name_to_rid[r.target_name] for r in recs})
+        if rids is None:
+            continue  # truncated; callers recover via map_read
+        assert sorted(rids.tolist()) == expect, nm
+        assert c == len(expect)
