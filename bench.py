@@ -97,7 +97,8 @@ def main():
     # rows recompute on the host for less than the DP time saved)
     engine = DeviceOverlapEngine(index, batch_size=128, num_anchors=4096, window=int(os.environ.get("BENCH_WINDOW", 32)))
     t_w = time.perf_counter()
-    engine.warmup()  # compile all length buckets
+    # compile only the buckets this query set will actually dispatch
+    engine.warmup([len(q) for q in queries])
     print(f"[bench] warmup/compile: {time.perf_counter()-t_w:.1f}s", file=sys.stderr)
 
     t1 = time.perf_counter()

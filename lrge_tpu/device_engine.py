@@ -312,15 +312,21 @@ class DeviceOverlapEngine:
         """Compile the fused programs ahead of the mapping pass.
 
         With ``lengths`` (the query read lengths about to be mapped)
-        only the buckets that will actually receive rows are compiled.
+        only buckets that will actually receive MORE rows than the
+        sparse-routing threshold are compiled — sparse buckets run on
+        the host at mapping time, so compiling them is pure waste
+        (remote compilation costs seconds per program here).
         """
         if not self.device_ok:
             return
+        import os as _os
+
+        min_rows = int(_os.environ.get("LRGE_DEVICE_MIN_ROWS", 32))
         lo = 0
         self._warming = True  # bypass the sparse-bucket host routing
         try:
             for L in self.length_buckets:
-                if lengths is None or any(lo < x <= L for x in lengths):
+                if lengths is None or sum(lo < x <= L for x in lengths) > min_rows:
                     fake = [b"ACGT" * (max(lo + 4, L // 2) // 4)] * 2
                     self.count_batch([b"__warm0", b"__warm1"], fake)
                 lo = L
