@@ -166,6 +166,30 @@ class OverlapEngine:
 
         return bisect.bisect_left(self._sorted_names, qname)
 
+    def _bucket_dict(self):
+        """Bucketed unique-hash dictionary for the native batch kernel
+        (same layout as the device lookup): built once per index.
+        Contiguous bucket probes replace the ~2*log2(N) cache-missing
+        binary-search steps over the postings keys."""
+        if getattr(self, "_bdict", None) is None:
+            keys = self.index.keys
+            hb = 2 * self.params.k
+            uk, first = np.unique(keys, return_index=True)
+            uoff = np.append(first, len(keys)).astype(np.int32)
+            bits = int(np.ceil(np.log2(max(len(uk), 2)))) + 1
+            bits = min(max(bits, 12), 24, hb - 1)
+            ub = (uk >> np.uint64(hb - bits)).astype(np.int64)
+            cnt = np.bincount(ub, minlength=1 << bits)
+            boff = np.concatenate(([0], np.cumsum(cnt))).astype(np.int32)
+            self._bdict = (
+                np.ascontiguousarray(uk),
+                np.ascontiguousarray(uoff),
+                np.ascontiguousarray(boff),
+                hb,
+                bits,
+            )
+        return self._bdict
+
     def map_read(self, qname: bytes, seq: bytes) -> List[PafRecord]:
         """Map one query; returns all chains as PAF records (score desc)."""
         qlen = len(seq)
@@ -314,8 +338,12 @@ class OverlapEngine:
         counts = np.zeros(n, dtype=np.int32)
         had = np.zeros(n, dtype=np.uint8)
         PMAX = 1024
-        pairs = np.empty((n, PMAX), dtype=np.int32) if want_pairs else None
-        extra = (pairs, PMAX) if want_pairs else ()
+        pairs = (
+            np.empty((n, PMAX), dtype=np.int32)
+            if want_pairs
+            else np.empty(0, dtype=np.int32)
+        )
+        extra = (pairs, PMAX if want_pairs else 0, *self._bucket_dict())
         idx = self.index
         native.count_many(
             seqs,
@@ -343,7 +371,7 @@ class OverlapEngine:
             counts,
             had,
             *extra,
-        )
+        )  # noqa: the optional tail is (pairs, pmax, uhash, uoff, boff, hash_bits, bucket_bits)
         if want_pairs:
             out = []
             for i, (c, h) in enumerate(zip(counts, had)):

@@ -481,13 +481,36 @@ struct CountScratch {
   std::vector<Py_ssize_t> tmark;
 };
 
+// bucketed unique-hash dictionary (same layout as the device lookup):
+// the top bucket_bits of the hash pick a bucket of adjacent distinct
+// hashes in uhash; uoff gives each unique's posting range.  Contiguous
+// probes replace the ~2*log2(N) cache-missing binary-search steps.
+struct BucketDict {
+  const uint64_t* uhash = nullptr;  // [U] sorted distinct hashes
+  const int32_t* uoff = nullptr;    // [U+1] posting offsets
+  const int32_t* boff = nullptr;    // [2^bits+1] bucket offsets
+  int hash_bits = 0;
+  int bucket_bits = 0;
+  bool lookup(uint64_t h, Py_ssize_t* start, int64_t* occ) const {
+    uint64_t b = h >> (hash_bits - bucket_bits);
+    for (int32_t u = boff[b]; u < boff[b + 1]; ++u)
+      if (uhash[u] == h) {
+        *start = uoff[u];
+        *occ = uoff[u + 1] - uoff[u];
+        return true;
+      }
+    return false;
+  }
+};
+
 void count_one(const unsigned char* seq, int64_t qlen, int32_t dualrank,
                int32_t selfrid, const uint64_t* keys, const int32_t* irid,
                const int32_t* ipos, const signed char* istrand,
                const int32_t* name_rank, Py_ssize_t npost, int64_t mid_occ,
                int k, int w, int max_gap, int bw, int max_iter, int max_skip,
                float pen_gap, float pen_skip, int min_score, float q_occ_frac,
-               int no_dual, int no_diag, CountScratch& s, int32_t* count_out,
+               int no_dual, int no_diag, const BucketDict* dict,
+               CountScratch& s, int32_t* count_out,
                unsigned char* had_out, int32_t* pairs_out, int pmax) {
   *count_out = 0;
   *had_out = 0;
@@ -515,10 +538,16 @@ void count_one(const unsigned char* seq, int64_t qlen, int32_t dualrank,
       // float32 comparison order matches the numpy oracle
       if (c > mid_occ && (float)c > (float)m * q_occ_frac) continue;
     }
-    auto lohi = std::equal_range(keys, keys + npost, h);
-    int64_t occ = lohi.second - lohi.first;
+    Py_ssize_t start;
+    int64_t occ;
+    if (dict) {
+      if (!dict->lookup(h, &start, &occ)) continue;  // miss
+    } else {
+      auto lohi = std::equal_range(keys, keys + npost, h);
+      occ = lohi.second - lohi.first;
+      start = lohi.first - keys;
+    }
     if (occ == 0 || occ > mid_occ) continue;  // miss / repetitive (rep_len)
-    Py_ssize_t start = lohi.first - keys;
     int32_t qpos_j = (int32_t)s.mz[j].pos;
     int32_t z = s.mz[j].z;
     for (Py_ssize_t t = start; t < start + occ; ++t) {
@@ -589,10 +618,14 @@ void count_one(const unsigned char* seq, int64_t qlen, int32_t dualrank,
 //            strand_i8, name_rank_i32, mid_occ, k, w, max_gap, bw,
 //            max_iter, max_skip, pen_gap, pen_skip, min_score, q_occ_frac,
 //            no_dual, no_diag, threads, counts_out_i32, had_out_u8
-//            [, pairs_out_i32, pmax])
+//            [, pairs_out_i32, pmax, uhash_u64, uoff_i32, boff_i32,
+//               hash_bits, bucket_bits])
 // pairs_out (optional): [n*pmax] int32, -1-padded passing target rids
 // per query in ascending-rid order; rows with count > pmax are
 // truncated (detectable by the caller: count vs emitted rids).
+// Pass pairs_out of length 0 with pmax 0 to skip pair emission while
+// still supplying the optional bucketed dictionary (uhash/uoff/boff),
+// which replaces the binary search over the postings keys.
 PyObject* py_count_many(PyObject*, PyObject* args) {
   PyObject* seq_list;
   Py_buffer dualrank, selfrid, keys, irid, ipos, istrand, name_rank;
@@ -601,15 +634,16 @@ PyObject* py_count_many(PyObject*, PyObject* args) {
       threads;
   float pen_gap, pen_skip, q_occ_frac;
   Py_buffer counts_out, had_out;
-  Py_buffer pairs_out;
-  pairs_out.buf = nullptr;
-  int pmax = 0;
-  if (!PyArg_ParseTuple(args, "O!y*y*y*y*y*y*y*Liiiiiiffifiiiy*y*|y*i",
+  Py_buffer pairs_out, uhash, uoff, boff;
+  pairs_out.buf = uhash.buf = uoff.buf = boff.buf = nullptr;
+  int pmax = 0, hash_bits = 0, bucket_bits = 0;
+  if (!PyArg_ParseTuple(args, "O!y*y*y*y*y*y*y*Liiiiiiffifiiiy*y*|y*iy*y*y*ii",
                         &PyList_Type, &seq_list, &dualrank, &selfrid, &keys,
                         &irid, &ipos, &istrand, &name_rank, &mid_occ, &k, &w,
                         &max_gap, &bw, &max_iter, &max_skip, &pen_gap,
                         &pen_skip, &min_score, &q_occ_frac, &no_dual, &no_diag,
-                        &threads, &counts_out, &had_out, &pairs_out, &pmax))
+                        &threads, &counts_out, &had_out, &pairs_out, &pmax,
+                        &uhash, &uoff, &boff, &hash_bits, &bucket_bits))
     return nullptr;
   Py_ssize_t nreads = PyList_GET_SIZE(seq_list);
   std::vector<const unsigned char*> ptrs(nreads);
@@ -637,8 +671,18 @@ PyObject* py_count_many(PyObject*, PyObject* args) {
     Py_ssize_t npost = keys.len / 8;
     int32_t* CO = (int32_t*)counts_out.buf;
     unsigned char* HO = (unsigned char*)had_out.buf;
-    int32_t* PO = pairs_out.buf ? (int32_t*)pairs_out.buf : nullptr;
+    int32_t* PO = pairs_out.buf && pmax > 0 ? (int32_t*)pairs_out.buf : nullptr;
     if (PO) memset(PO, 0xFF, (size_t)nreads * pmax * 4);  // -1 padding
+    BucketDict dict;
+    const BucketDict* dictp = nullptr;
+    if (uhash.buf && boff.buf && bucket_bits > 0 && hash_bits > bucket_bits) {
+      dict.uhash = (const uint64_t*)uhash.buf;
+      dict.uoff = (const int32_t*)uoff.buf;
+      dict.boff = (const int32_t*)boff.buf;
+      dict.hash_bits = hash_bits;
+      dict.bucket_bits = bucket_bits;
+      dictp = &dict;
+    }
     if (threads < 1) threads = 1;
     Py_BEGIN_ALLOW_THREADS {
       int nt = std::min<int>(threads, std::max<int>(1, (int)nreads));
@@ -653,7 +697,7 @@ PyObject* py_count_many(PyObject*, PyObject* args) {
             count_one(ptrs[i], lens[i], dr[i], sr[i], K, IR, IP, IS, NR,
                       npost, mid_occ, k, w, max_gap, bw, max_iter, max_skip,
                       pen_gap, pen_skip, min_score, q_occ_frac, no_dual,
-                      no_diag, scratch, &CO[i], &HO[i],
+                      no_diag, dictp, scratch, &CO[i], &HO[i],
                       PO ? PO + (size_t)i * pmax : nullptr, pmax);
           }
         });
@@ -671,6 +715,9 @@ PyObject* py_count_many(PyObject*, PyObject* args) {
   PyBuffer_Release(&counts_out);
   PyBuffer_Release(&had_out);
   if (pairs_out.buf) PyBuffer_Release(&pairs_out);
+  if (uhash.buf) PyBuffer_Release(&uhash);
+  if (uoff.buf) PyBuffer_Release(&uoff);
+  if (boff.buf) PyBuffer_Release(&boff);
   if (bad) return nullptr;
   Py_RETURN_NONE;
 }
