@@ -321,6 +321,11 @@ class DeviceOverlapEngine:
             return
         import os as _os
 
+        if self._has_native_pairs():
+            # pre-build the host bucket dictionary off the hot path (the
+            # host-share future and the retry path would otherwise race
+            # to build it during the first mapping pass)
+            self.host._bucket_dict()
         min_rows = int(_os.environ.get("LRGE_DEVICE_MIN_ROWS", 32))
         lo = 0
         self._warming = True  # bypass the sparse-bucket host routing
@@ -390,12 +395,12 @@ class DeviceOverlapEngine:
         if not getattr(self, "_warming", False):
             from .native import native as _native
 
-            # default 0.55 measured on v5e + 2-core host with the native
-            # count_many kernel (tools/tune_probe.py 2026-08-18: 3914 q/s
+            # default 0.62 measured on v5e + 2-core host with the native
+            # count_many kernel (tools/tune_probe.py 2026-08-18: 4266 q/s
             # vs 1815 device-only; both sides finish together); the
             # optimum scales with host cores vs chip rate — tune via env
             default_share = (
-                "0.55"
+                "0.62"
                 if (
                     _native is not None
                     and not self.pb_mode

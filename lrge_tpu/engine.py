@@ -154,11 +154,15 @@ class OverlapEngine:
     """Maps query reads against a :class:`TargetIndex`."""
 
     def __init__(self, index: TargetIndex):
+        import threading
+
         self.index = index
         self.params: OverlapParams = index.params
         # name -> rid for the self mask; rank-in-target-order for no-dual
         self._name_to_rid = {n: i for i, n in enumerate(index.names)}
         self._sorted_names = sorted(index.names)
+        self._bdict = None
+        self._bdict_lock = threading.Lock()
 
     def _dual_rank(self, qname: bytes) -> int:
         """Number of target names lexicographically smaller than qname."""
@@ -170,8 +174,14 @@ class OverlapEngine:
         """Bucketed unique-hash dictionary for the native batch kernel
         (same layout as the device lookup): built once per index.
         Contiguous bucket probes replace the ~2*log2(N) cache-missing
-        binary-search steps over the postings keys."""
-        if getattr(self, "_bdict", None) is None:
+        binary-search steps over the postings keys.  Lock-protected:
+        concurrent first callers (the device engine's host-share future
+        and its retry path) must not both pay the multi-second build."""
+        with self._bdict_lock:
+            return self._bucket_dict_locked()
+
+    def _bucket_dict_locked(self):
+        if self._bdict is None:
             keys = self.index.keys
             hb = 2 * self.params.k
             uk, first = np.unique(keys, return_index=True)
