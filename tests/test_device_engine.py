@@ -243,3 +243,28 @@ class TestDeviceVsHost:
         assert p0.keys() == p1.keys()
         for q in p0:
             assert np.array_equal(np.sort(p0[q]), np.sort(p1[q])), q
+
+    def test_zero_anchor_rows(self, corpus):
+        # rows with no index hits at all: the dynamic DP trip bound is 0
+        # for an all-miss batch (the while_loop body never runs) and
+        # counts must be 0 / had_mapping False; mixed batches still match
+        # the host on the rows that do map
+        targets, tnames, queries, qnames = corpus
+        params = preset_for(Platform.NANOPORE, dual=True)
+        index = build_index(targets, tnames, params)
+        rng = np.random.default_rng(4242)
+        alien = [bytes(rng.choice(list(b"ACGT"), size=1500).tolist()) for _ in range(8)]
+        anames = [b"alien%d" % i for i in range(8)]
+        dev = DeviceOverlapEngine(index, batch_size=8, num_anchors=2048, window=128)
+        # all-miss batch
+        res = dev.count_batch(anames, alien)
+        assert res.counts.sum() == 0 and not res.had_mapping.any()
+        # mixed batch
+        host = OverlapEngine(index)
+        mix_n = anames + qnames[:8]
+        mix_s = alien + queries[:8]
+        res = dev.count_batch(mix_n, mix_s)
+        for i, (nm, sq) in enumerate(zip(mix_n, mix_s)):
+            hc, hh = host.count_overlaps(nm, sq)
+            assert res.counts[i] == hc
+            assert bool(res.had_mapping[i]) == bool(hh)
