@@ -245,11 +245,7 @@ class DeviceOverlapEngine:
 
         from .native import native as _native
 
-        if (
-            _native is not None
-            and not self.params.hpc
-            and hasattr(_native, "count_many")
-        ):
+        if _native is not None and hasattr(_native, "count_many"):
             return self.host.count_overlaps_many(items)
         if _native is None or len(items) <= 1:
             return [self._host_count(nm, sq) for nm, sq in items]
@@ -259,11 +255,7 @@ class DeviceOverlapEngine:
     def _has_native_pairs(self) -> bool:
         from .native import native as _native
 
-        return (
-            _native is not None
-            and not self.params.hpc
-            and hasattr(_native, "count_many")
-        )
+        return _native is not None and hasattr(_native, "count_many")
 
     def _host_count_pairs(self, items):
         """``(count, had, rids|None)`` triples; rids is None when the
@@ -401,11 +393,7 @@ class DeviceOverlapEngine:
             # optimum scales with host cores vs chip rate — tune via env
             default_share = (
                 "0.62"
-                if (
-                    _native is not None
-                    and not self.pb_mode
-                    and hasattr(_native, "count_many")
-                )
+                if (_native is not None and hasattr(_native, "count_many"))
                 else "0"
             )
             share = float(_os.environ.get("LRGE_HOST_SHARE", default_share))

@@ -316,8 +316,9 @@ class OverlapEngine:
         Uses the native whole-pipeline kernel (sketch -> lookup ->
         chain -> reduce, GIL-free and threaded over queries) when
         available; semantics identical to per-read
-        :meth:`count_overlaps`.  HPC presets and the no-native build
-        fall back to the Python loop.
+        :meth:`count_overlaps` (HPC presets reduce via the exact
+        backtrack peel, constant-span presets via the per-rid best).
+        The no-native build falls back to the Python loop.
 
         With ``want_pairs`` the return is ``[(count, had, rids)]`` where
         ``rids`` is the passing target-id array (None when truncated at
@@ -327,7 +328,7 @@ class OverlapEngine:
         from .native import native
 
         p = self.params
-        if native is None or p.hpc or not hasattr(native, "count_many"):
+        if native is None or not hasattr(native, "count_many"):
             res = [self.count_overlaps(nm, sq) for nm, sq in items]
             if want_pairs:
                 return [(c, h, None) for c, h in res]
@@ -377,6 +378,8 @@ class OverlapEngine:
             np.float32(p.q_occ_frac),
             int(p.no_dual),
             int(p.no_diag),
+            int(p.hpc),
+            p.min_cnt,
             threads or os.cpu_count() or 1,
             counts,
             had,

@@ -479,6 +479,10 @@ struct CountScratch {
   std::vector<int32_t> order;
   std::vector<int64_t> F, P;
   std::vector<Py_ssize_t> tmark;
+  // hpc reduce (backtrack) scratch
+  std::vector<int32_t> bt_order;
+  std::vector<unsigned char> bt_used;
+  std::vector<int32_t> bt_rids;
 };
 
 // bucketed unique-hash dictionary (same layout as the device lookup):
@@ -509,13 +513,14 @@ void count_one(const unsigned char* seq, int64_t qlen, int32_t dualrank,
                const int32_t* name_rank, Py_ssize_t npost, int64_t mid_occ,
                int k, int w, int max_gap, int bw, int max_iter, int max_skip,
                float pen_gap, float pen_skip, int min_score, float q_occ_frac,
-               int no_dual, int no_diag, const BucketDict* dict,
+               int no_dual, int no_diag, bool hpc, int min_cnt,
+               const BucketDict* dict,
                CountScratch& s, int32_t* count_out,
                unsigned char* had_out, int32_t* pairs_out, int pmax) {
   *count_out = 0;
   *had_out = 0;
   s.mz.clear();
-  sketch_one(seq, qlen, k, w, /*hpc=*/false, s.mz);
+  sketch_one(seq, qlen, k, w, hpc, s.mz);
   Py_ssize_t m = (Py_ssize_t)s.mz.size();
   if (m == 0) return;
   // mm_seed_mz_flt (q_occ_frac): within-query occurrence counts
@@ -595,20 +600,59 @@ void count_one(const unsigned char* seq, int64_t qlen, int32_t dualrank,
   chain_dp_raw(s.key2.data(), rs.data(), qs.data(), ss.data(), n, max_gap, bw,
                max_iter, max_skip, pen_gap, pen_skip, s.F.data(), s.P.data(),
                s.tmark);
-  // per-rid best score; count rids whose best passes min_score
   int32_t count = 0;
-  Py_ssize_t i = 0;
-  while (i < n) {
-    int32_t rid = rids[i];
-    int64_t best = s.F[i];
-    Py_ssize_t j = i + 1;
-    for (; j < n && rids[j] == rid; ++j)
-      if (s.F[j] > best) best = s.F[j];
-    if (best >= min_score) {
-      if (pairs_out && count < pmax) pairs_out[count] = rid;
-      ++count;
+  if (!hpc) {
+    // per-rid best score; count rids whose best passes min_score
+    // (constant spans: min_cnt is implied by min_chain_score, see
+    // engine.py count_overlaps' correctness argument)
+    Py_ssize_t i = 0;
+    while (i < n) {
+      int32_t rid = rids[i];
+      int64_t best = s.F[i];
+      Py_ssize_t j = i + 1;
+      for (; j < n && rids[j] == rid; ++j)
+        if (s.F[j] > best) best = s.F[j];
+      if (best >= min_score) {
+        if (pairs_out && count < pmax) pairs_out[count] = rid;
+        ++count;
+      }
+      i = j;
     }
-    i = j;
+  } else {
+    // variable spans (HPC): a same-target secondary chain can pass where
+    // the best chain fails min_cnt, so peel chains exactly like
+    // mm_chain_backtrack (mirror of chain.py backtrack(): candidates
+    // with f >= min_sc, stable-sorted by f ascending, walked in reverse
+    // so larger indices win ties; used anchors never revert) and count
+    // distinct rids over passing chains.
+    s.bt_order.clear();
+    for (Py_ssize_t i = 0; i < n; ++i)
+      if (s.F[i] >= min_score) s.bt_order.push_back((int32_t)i);
+    std::stable_sort(s.bt_order.begin(), s.bt_order.end(),
+                     [&](int32_t a, int32_t b) { return s.F[a] < s.F[b]; });
+    s.bt_used.assign(n, 0);
+    s.bt_rids.clear();
+    for (auto it = s.bt_order.rbegin(); it != s.bt_order.rend(); ++it) {
+      int32_t end = *it;
+      if (s.bt_used[end]) continue;
+      int64_t i = end;
+      int64_t cnt = 0;
+      while (i >= 0 && !s.bt_used[i]) {
+        s.bt_used[i] = 1;
+        ++cnt;
+        i = s.P[i];
+      }
+      int64_t sc = i < 0 ? s.F[end] : s.F[end] - s.F[i];
+      if (sc >= min_score && cnt >= min_cnt) s.bt_rids.push_back(rids[end]);
+    }
+    std::sort(s.bt_rids.begin(), s.bt_rids.end());
+    s.bt_rids.erase(std::unique(s.bt_rids.begin(), s.bt_rids.end()),
+                    s.bt_rids.end());
+    count = (int32_t)s.bt_rids.size();
+    if (pairs_out) {
+      int lim = count < pmax ? count : pmax;
+      for (int j = 0; j < lim; ++j) pairs_out[j] = s.bt_rids[j];
+    }
   }
   *count_out = count;
   *had_out = count > 0 ? 1 : 0;
@@ -617,7 +661,8 @@ void count_one(const unsigned char* seq, int64_t qlen, int32_t dualrank,
 // count_many(seqs, dualrank_i32, selfrid_i32, keys_u64, rid_i32, pos_i32,
 //            strand_i8, name_rank_i32, mid_occ, k, w, max_gap, bw,
 //            max_iter, max_skip, pen_gap, pen_skip, min_score, q_occ_frac,
-//            no_dual, no_diag, threads, counts_out_i32, had_out_u8
+//            no_dual, no_diag, hpc, min_cnt, threads, counts_out_i32,
+//            had_out_u8
 //            [, pairs_out_i32, pmax, uhash_u64, uoff_i32, boff_i32,
 //               hash_bits, bucket_bits])
 // pairs_out (optional): [n*pmax] int32, -1-padded passing target rids
@@ -631,19 +676,21 @@ PyObject* py_count_many(PyObject*, PyObject* args) {
   Py_buffer dualrank, selfrid, keys, irid, ipos, istrand, name_rank;
   long long mid_occ;
   int k, w, max_gap, bw, max_iter, max_skip, min_score, no_dual, no_diag,
-      threads;
+      hpc, min_cnt, threads;
   float pen_gap, pen_skip, q_occ_frac;
   Py_buffer counts_out, had_out;
   Py_buffer pairs_out, uhash, uoff, boff;
   pairs_out.buf = uhash.buf = uoff.buf = boff.buf = nullptr;
   int pmax = 0, hash_bits = 0, bucket_bits = 0;
-  if (!PyArg_ParseTuple(args, "O!y*y*y*y*y*y*y*Liiiiiiffifiiiy*y*|y*iy*y*y*ii",
+  if (!PyArg_ParseTuple(args,
+                        "O!y*y*y*y*y*y*y*Liiiiiiffifiiiiiy*y*|y*iy*y*y*ii",
                         &PyList_Type, &seq_list, &dualrank, &selfrid, &keys,
                         &irid, &ipos, &istrand, &name_rank, &mid_occ, &k, &w,
                         &max_gap, &bw, &max_iter, &max_skip, &pen_gap,
                         &pen_skip, &min_score, &q_occ_frac, &no_dual, &no_diag,
-                        &threads, &counts_out, &had_out, &pairs_out, &pmax,
-                        &uhash, &uoff, &boff, &hash_bits, &bucket_bits))
+                        &hpc, &min_cnt, &threads, &counts_out, &had_out,
+                        &pairs_out, &pmax, &uhash, &uoff, &boff, &hash_bits,
+                        &bucket_bits))
     return nullptr;
   Py_ssize_t nreads = PyList_GET_SIZE(seq_list);
   std::vector<const unsigned char*> ptrs(nreads);
@@ -697,8 +744,8 @@ PyObject* py_count_many(PyObject*, PyObject* args) {
             count_one(ptrs[i], lens[i], dr[i], sr[i], K, IR, IP, IS, NR,
                       npost, mid_occ, k, w, max_gap, bw, max_iter, max_skip,
                       pen_gap, pen_skip, min_score, q_occ_frac, no_dual,
-                      no_diag, dictp, scratch, &CO[i], &HO[i],
-                      PO ? PO + (size_t)i * pmax : nullptr, pmax);
+                      no_diag, hpc != 0, min_cnt, dictp, scratch, &CO[i],
+                      &HO[i], PO ? PO + (size_t)i * pmax : nullptr, pmax);
           }
         });
       for (auto& th : pool) th.join();

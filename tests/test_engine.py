@@ -236,3 +236,51 @@ def test_count_overlaps_many_pairs_match_map_read():
             continue  # truncated; callers recover via map_read
         assert sorted(rids.tolist()) == expect, nm
         assert c == len(expect)
+
+
+def test_count_overlaps_many_hpc_matches_per_read():
+    # HPC preset: variable spans + the backtrack-peel reduce (min_cnt
+    # can disqualify a best chain while a secondary passes) must match
+    # the per-read map_read-based counting exactly
+    import numpy as np
+
+    from lrge_tpu.engine import OverlapEngine
+    from lrge_tpu.ops.index import build_index
+    from lrge_tpu.platform import Platform, preset_for
+
+    rng = np.random.default_rng(55)
+    parts = []
+    for _ in range(4000):
+        base = rng.choice(list(b"ACGT"))
+        parts.append(bytes([base]) * int(rng.integers(1, 8)))
+    genome = b"".join(parts)
+
+    def reads(n, L, err, tag):
+        out = []
+        g = np.frombuffer(genome, np.uint8)
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        for i in range(n):
+            pos = int(rng.integers(0, len(genome) - L))
+            arr = g[pos : pos + L].copy()
+            ne = rng.binomial(L, err)
+            arr[rng.integers(0, L, size=ne)] = bases[rng.integers(0, 4, size=ne)]
+            out.append((b"%s%d" % (tag, i), arr.tobytes()))
+        return out
+
+    targets = reads(100, 1800, 0.05, b"t")
+    queries = reads(50, 2000, 0.05, b"q")
+    params = preset_for(Platform.PACBIO, dual=True)
+    index = build_index([s for _, s in targets], [n for n, _ in targets], params)
+    host = OverlapEngine(index)
+    items = queries + targets[:25]
+    ref = [tuple(map(int, host.count_overlaps(nm, sq))) for nm, sq in items]
+    got = host.count_overlaps_many(items)
+    assert got == ref
+    # pairs variant: unique passing targets from map_read
+    name_to_rid = {n: i for i, n in enumerate(index.names)}
+    for (nm, sq), (c, h, rids) in zip(items, host.count_overlaps_many(items, want_pairs=True)):
+        recs = host.map_read(nm, sq)
+        expect = sorted({name_to_rid[r.target_name] for r in recs})
+        assert c == len(expect)
+        if rids is not None:
+            assert sorted(rids.tolist()) == expect
