@@ -268,3 +268,26 @@ class TestDeviceVsHost:
             hc, hh = host.count_overlaps(nm, sq)
             assert res.counts[i] == hc
             assert bool(res.had_mapping[i]) == bool(hh)
+
+    def test_host_share_pacbio_matches_device_only(self, corpus, monkeypatch):
+        # the heterogeneous split now covers the HPC preset (native
+        # backtrack reduce): counts must equal the device-only run
+        targets, tnames, queries, qnames = corpus
+        from lrge_tpu.native import native
+
+        if native is None:
+            pytest.skip("native kernel unavailable")
+        qnames = qnames * 3
+        queries = queries * 3
+        qnames = [b"pb%d_" % i + n for i, n in enumerate(qnames)]
+        params = preset_for(Platform.PACBIO, dual=True)
+        index = build_index(targets[:60], tnames[:60], params)
+        monkeypatch.setenv("LRGE_HOST_SHARE", "0")
+        dev0 = DeviceOverlapEngine(index, batch_size=8, num_anchors=1024, window=64)
+        res0 = dev0.count_batch(qnames, queries)
+        monkeypatch.setenv("LRGE_HOST_SHARE", "0.5")
+        dev1 = DeviceOverlapEngine(index, batch_size=8, num_anchors=1024, window=64)
+        res1 = dev1.count_batch(qnames, queries)
+        assert dev1.fallback_triggers.get("host_share", 0) > 0
+        assert np.array_equal(res0.counts, res1.counts)
+        assert np.array_equal(res0.had_mapping, res1.had_mapping)
