@@ -387,12 +387,12 @@ class DeviceOverlapEngine:
         if not getattr(self, "_warming", False):
             from .native import native as _native
 
-            # default 0.62 measured on v5e + 2-core host with the native
-            # count_many kernel (tools/tune_probe.py 2026-08-18: 4266 q/s
+            # default 0.65 measured on v5e + 2-core host with the native
+            # count_many kernel (tools/tune_probe.py 2026-08-18: ~4500 q/s at 0.62-0.66
             # vs 1815 device-only; both sides finish together); the
             # optimum scales with host cores vs chip rate — tune via env
             default_share = (
-                "0.62"
+                "0.65"
                 if (_native is not None and hasattr(_native, "count_many"))
                 else "0"
             )
