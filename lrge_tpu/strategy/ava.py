@@ -110,6 +110,11 @@ class AvaStrategy(Estimate):
 
         if self.engine == "device" and not self.remove_internal:
             return self._count_device(engine, reads, sum_len, read_lengths)
+        if self.engine == "device" and self.remove_internal:
+            logger.info(
+                "-F/--filter-contained needs mapping coordinates; "
+                "using the host engine instead of the device pipeline"
+            )
         from ..engine import ParallelHostMapper
 
         mapper = ParallelHostMapper(engine.index, self.threads)

@@ -173,6 +173,11 @@ class TwoSetStrategy(Estimate):
         engine = self._build_engine(targets)
         if self.engine == "device" and not self.remove_internal:
             return self._align_reads_device(engine, queries, avg_target_len)
+        if self.engine == "device" and self.remove_internal:
+            logger.info(
+                "-F/--filter-contained needs mapping coordinates; "
+                "using the host engine instead of the device pipeline"
+            )
         from ..engine import ParallelHostMapper
 
         mapper = ParallelHostMapper(engine.index, self.threads)
