@@ -300,6 +300,41 @@ class DeviceOverlapEngine:
             jnp.stack(prs),
         )
 
+    def _host_share_fraction(self, n_dev_rows: int, pairs_wanted: bool) -> float:
+        """Fraction of device-eligible rows handed to the concurrent
+        host engine (shortest rows first; counts stay exact either way).
+
+        The default anchors to the measured optimum on a v5e + 2-core
+        host (tools/tune_probe.py 2026-08-18: ~0.65) and scales with
+        host cores: the native count_many kernel's throughput is
+        ~linear in cores while the chip rate is fixed, so the balanced
+        split is ``share(c) = c*r / (c*r + 1)`` with ``r`` calibrated
+        from the 2-core measurement (0.65 = 2r/(2r+1) -> r ~ 0.93).
+        Capped at 0.9 — beyond that the rows handed over are no longer
+        "cheap short reads".  Override with LRGE_HOST_SHARE.
+        """
+        import os as _os
+
+        from .native import native as _native
+
+        have_native = _native is not None and hasattr(_native, "count_many")
+        if "LRGE_HOST_SHARE" in _os.environ:
+            share = float(_os.environ["LRGE_HOST_SHARE"])
+        elif not have_native:
+            share = 0.0
+        else:
+            c = _os.cpu_count() or 2
+            r = 0.93  # per-core host rate / device rate (v5e calibration)
+            share = min(0.9, c * r / (c * r + 1.0))
+        if pairs_wanted and not self._has_native_pairs():
+            # pair collection (ava) needs per-target ids; without the
+            # native pairs kernel, share rows would fall to the slow
+            # per-read map_read recovery — a net loss
+            share = 0.0
+        if share <= 0 or _native is None or n_dev_rows < 4 * self.batch_size:
+            return 0.0
+        return share
+
     def warmup(self, lengths=None) -> None:
         """Compile the fused programs ahead of the mapping pass.
 
@@ -319,6 +354,15 @@ class DeviceOverlapEngine:
             # to build it during the first mapping pass)
             self.host._bucket_dict()
         min_rows = int(_os.environ.get("LRGE_DEVICE_MIN_ROWS", 32))
+        if lengths is not None:
+            # mirror count_batch's host-share trim: the shortest rows
+            # never reach the device, so buckets they would have filled
+            # must not be compiled (remote compiles cost seconds each)
+            max_bucket = self.length_buckets[-1]
+            dev_lens = sorted(x for x in lengths if x <= max_bucket)
+            share = self._host_share_fraction(len(dev_lens), pairs_wanted=False)
+            k = int(len(dev_lens) * share)
+            lengths = dev_lens[k:]
         lo = 0
         self._warming = True  # bypass the sparse-bucket host routing
         try:
@@ -385,24 +429,10 @@ class DeviceOverlapEngine:
         # the native runtime (GIL-releasing chain DP) is unavailable.
         host_share_rows = []
         if not getattr(self, "_warming", False):
-            from .native import native as _native
-
-            # default 0.65 measured on v5e + 2-core host with the native
-            # count_many kernel (tools/tune_probe.py 2026-08-18: ~4500 q/s at 0.62-0.66
-            # vs 1815 device-only; both sides finish together); the
-            # optimum scales with host cores vs chip rate — tune via env
-            default_share = (
-                "0.65"
-                if (_native is not None and hasattr(_native, "count_many"))
-                else "0"
+            share = self._host_share_fraction(
+                len(dev_rows), pairs_wanted=collect_pairs is not None
             )
-            share = float(_os.environ.get("LRGE_HOST_SHARE", default_share))
-            if collect_pairs is not None and not self._has_native_pairs():
-                # pair collection (ava) needs per-target ids; without the
-                # native pairs kernel, share rows would fall to the slow
-                # per-read map_read recovery — a net loss
-                share = 0.0
-            if share > 0 and _native is not None and len(dev_rows) >= 4 * self.batch_size:
+            if share > 0:
                 k = int(len(dev_rows) * share)
                 if k:
                     by_len = sorted(dev_rows, key=lambda i: len(seqs[i]))

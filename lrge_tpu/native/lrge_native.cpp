@@ -468,8 +468,9 @@ PyObject* py_chain_dp(PyObject*, PyObject* args) {
 // per-rid best-score reduction.  GIL-free and threaded over queries —
 // the exact semantics of OverlapEngine.count_overlaps' fast path
 // (engine.py), which collect_anchors/chain_dp oracle-test against
-// minimap2's loop.  ONT presets only (constant spans; callers gate HPC
-// to the Python path).
+// minimap2's loop.  Covers both preset families: constant-span (ONT)
+// reduces via the per-rid best score, HPC (variable spans) via the
+// exact mm_chain_backtrack peel with the min_cnt gate.
 // ---------------------------------------------------------------------
 
 struct CountScratch {
@@ -785,7 +786,7 @@ PyMethodDef methods[] = {
      "count_many(seqs,dualrank,selfrid,keys,rid,pos,strand,name_rank,"
      "mid_occ,k,w,max_gap,bw,max_iter,max_skip,pen_gap,pen_skip,min_score,"
      "q_occ_frac,no_dual,no_diag,threads,counts_out,had_out) — GIL-free "
-     "threaded overlap counting (ONT fast path)"},
+     "threaded overlap counting (ONT per-rid best / HPC backtrack peel)"},
     {nullptr, nullptr, 0, nullptr},
 };
 

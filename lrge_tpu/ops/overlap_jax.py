@@ -39,6 +39,11 @@ import numpy as np
 NEG = jnp.int32(np.iinfo(np.int32).min // 2)  # headroom to avoid overflow
 IMAX = jnp.int32(np.iinfo(np.int32).max)
 
+# pair-plane capacity: per-query passing-target lists are clipped to
+# min(num_anchors, PAIR_CAP) slots — _reduce_counts and the lax.cond
+# empty branches must agree on this width or tracing fails
+PAIR_CAP = 512
+
 
 def mg_log2_jax(x: jnp.ndarray) -> jnp.ndarray:
     """minimap2's fast f32 log2 (bit trick), matching chain.mg_log2."""
@@ -630,7 +635,7 @@ def _reduce_counts(
     # passing-target id list per query (for symmetric/pair counting):
     # compact passing run-end rids to the front via a stable sort
     if want_pairs:
-        PMAX = 512
+        PMAX = min(A, PAIR_CAP)
         pk_s, prid = jax.lax.sort(
             (jnp.where(passing, jnp.arange(A, dtype=jnp.int32)[None, :], IMAX), rid_s),
             dimension=1,
@@ -1221,7 +1226,7 @@ def map_found_many_core(
     def empty_body(args):
         fo, mp, ql, qd, qs = args
         B = ql.shape[0]
-        PM = 512 if want_pairs else 1
+        PM = min(num_anchors, PAIR_CAP) if want_pairs else 1
         return (
             jnp.zeros((B,), jnp.int32),
             jnp.zeros((B,), jnp.int32),
