@@ -401,9 +401,28 @@ def build_engine(seqs, names, params: OverlapParams) -> OverlapEngine:
 
 # ---------------------------------------------------------------------------
 # Process-level host parallelism (the reference's rayon pool analogue,
-# `twoset.rs:252-270`; threads can't scale the numpy-heavy host path
-# because of the GIL, so we fork workers instead)
+# `twoset.rs:252-270`).  Forked numpy workers are the fastest path, but
+# fork is only safe while the process is single-threaded and the JAX
+# backend has not spun up its pthreads — forking after that inherits
+# locked mutexes and crashes ("Fatal Python error").  When fork is
+# unsafe the pool degrades to a thread pool: the native chain DP (the
+# dominant cost) releases the GIL, so threads still scale.
 # ---------------------------------------------------------------------------
+
+
+def fork_unsafe() -> bool:
+    """True when os.fork would inherit live threads (JAX backend
+    pthreads or any Python thread), making forked pools hazardous."""
+    import sys
+    import threading
+
+    if threading.active_count() > 1:
+        return True
+    xb = sys.modules.get("jax._src.xla_bridge")
+    if xb is not None and getattr(xb, "_backends", None):
+        return True
+    return False
+
 
 _WORKER_ENGINE: Optional[OverlapEngine] = None
 
@@ -430,33 +449,50 @@ class ParallelHostMapper:
         self.index = index
         self.threads = max(1, threads)
         self._pool = None
+        self._thread_pool = None
         if self.threads > 1:
-            import multiprocessing as mp
-            from concurrent.futures import ProcessPoolExecutor
+            if fork_unsafe():
+                # fork would inherit live (JAX/backend) threads; use a
+                # thread pool over the shared engine instead — the
+                # native chain DP releases the GIL, so this still scales
+                from concurrent.futures import ThreadPoolExecutor
 
-            ctx = mp.get_context("fork")
-            self._pool = ProcessPoolExecutor(
-                self.threads, mp_context=ctx, initializer=_init_worker, initargs=(index,)
-            )
+                _init_worker(index)
+                self._thread_pool = ThreadPoolExecutor(self.threads)
+            else:
+                import multiprocessing as mp
+                from concurrent.futures import ProcessPoolExecutor
+
+                ctx = mp.get_context("fork")
+                self._pool = ProcessPoolExecutor(
+                    self.threads, mp_context=ctx, initializer=_init_worker, initargs=(index,)
+                )
         else:
             _init_worker(index)
 
     def map_reads(self, items, chunksize: int = 16):
         """Yield ``map_read`` results in input order."""
-        if self._pool is None:
+        if self._pool is not None:
+            yield from self._pool.map(_worker_map, items, chunksize=chunksize)
+        elif self._thread_pool is not None:
+            yield from self._thread_pool.map(_worker_map, items)
+        else:
             for it in items:
                 yield _worker_map(it)
-        else:
-            yield from self._pool.map(_worker_map, items, chunksize=chunksize)
 
     def count_reads(self, items, chunksize: int = 16):
-        if self._pool is None:
+        if self._pool is not None:
+            yield from self._pool.map(_worker_count, items, chunksize=chunksize)
+        elif self._thread_pool is not None:
+            yield from self._thread_pool.map(_worker_count, items)
+        else:
             for it in items:
                 yield _worker_count(it)
-        else:
-            yield from self._pool.map(_worker_count, items, chunksize=chunksize)
 
     def close(self) -> None:
         if self._pool is not None:
             self._pool.shutdown()
             self._pool = None
+        if self._thread_pool is not None:
+            self._thread_pool.shutdown()
+            self._thread_pool = None

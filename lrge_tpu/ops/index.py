@@ -175,17 +175,23 @@ def _sketch_reads_parallel(seqs, params, workers: int = None):
     import os
     from concurrent.futures import ProcessPoolExecutor
 
+    from ..engine import fork_unsafe
+
     workers = workers or os.cpu_count() or 2
-    # fork is only safe before the JAX backend spins up its threads;
-    # callers (bench/strategies) build the index before touching the
-    # device, and the except-fallback keeps us correct regardless
+    if fork_unsafe():
+        # fork after the JAX backend (or any thread) is live inherits
+        # locked mutexes and can crash the child; sketch serially (the
+        # per-read numpy sketch does not release the GIL long enough
+        # for a thread pool to pay off)
+        _sketch_worker_init(params)
+        return [_sketch_worker(s) for s in seqs]
     ctx = mp.get_context("fork")
     try:
         with ProcessPoolExecutor(
             workers, mp_context=ctx, initializer=_sketch_worker_init, initargs=(params,)
         ) as pool:
             return list(pool.map(_sketch_worker, seqs, chunksize=64))
-    except Exception as e:  # fork after JAX init can misbehave; stay safe
+    except Exception as e:  # keep correctness if the pool misbehaves
         import logging
 
         logging.getLogger("lrge").warning(

@@ -284,3 +284,40 @@ def test_count_overlaps_many_hpc_matches_per_read():
         assert c == len(expect)
         if rids is not None:
             assert sorted(rids.tolist()) == expect
+
+
+def test_parallel_mapper_avoids_fork_after_jax():
+    """Forking after the JAX backend (or any thread) is live crashes the
+    child (inherited locked mutexes); the pool must degrade to threads
+    and still produce order-preserved, equal results."""
+    import jax
+
+    from lrge_tpu.engine import OverlapEngine, ParallelHostMapper, fork_unsafe
+    from lrge_tpu.ops.index import build_index
+
+    jax.devices()  # spin up backend threads
+    assert fork_unsafe()
+
+    rng = np.random.default_rng(11)
+    g = np.frombuffer(b"ACGT", np.uint8)[
+        rng.integers(0, 4, size=40_000, dtype=np.uint8)
+    ].tobytes()
+    def reads(n, L, tag):
+        out = []
+        ga = np.frombuffer(g, np.uint8)
+        for i in range(n):
+            pos = int(rng.integers(0, len(g) - L))
+            out.append((b"%s%d" % (tag, i), ga[pos : pos + L].tobytes()))
+        return out
+
+    targets = reads(40, 1500, b"t")
+    queries = reads(20, 1500, b"q")
+    params = preset_for(Platform.NANOPORE, dual=True)
+    index = build_index([s for _, s in targets], [n for n, _ in targets], params)
+    mapper = ParallelHostMapper(index, threads=4)
+    assert mapper._pool is None  # no forked pool under live JAX
+    host = OverlapEngine(index)
+    got = [[r.to_line() for r in recs] for recs in mapper.map_reads(queries)]
+    ref = [[r.to_line() for r in host.map_read(nm, sq)] for nm, sq in queries]
+    assert got == ref
+    mapper.close()

@@ -1,5 +1,6 @@
-import time, sys, functools
+import time, sys, functools, os
 import numpy as np, jax, jax.numpy as jnp
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.argv = ["bench"]
 import bench as B
 from lrge_tpu.device_engine import DeviceOverlapEngine
