@@ -142,6 +142,17 @@ def main(argv=None) -> int:
         ap.error("the argument '--num <INT>' cannot be used with '--target/--query'")
     setup_logging(args.quiet, args.verbose)
 
+    # multi-host runtime (env-gated: LRGE_COORDINATOR/NUM_PROCESSES/
+    # PROCESS_ID).  Every process runs the same deterministic pipeline;
+    # only process 0 writes the result.
+    from .parallel.distributed import init_from_env
+
+    emit_output = True
+    if init_from_env():
+        import jax
+
+        emit_output = jax.process_index() == 0
+
     tmp = create_temp_dir(args.temp_dir, args.keep_temp)
     (logger.info if args.keep_temp else logger.debug)(
         "Created temporary directory at %s", tmp.path
@@ -210,7 +221,9 @@ def main(argv=None) -> int:
             out_text = np.format_float_positional(np.float32(est), unique=True, trim="-") + "\n"
         else:
             out_text = f"{est:.0f}\n"
-        if args.output == "-":
+        if not emit_output:
+            pass  # non-zero rank in a multi-host run: host 0 writes
+        elif args.output == "-":
             sys.stdout.write(out_text)
         else:
             Path(args.output).write_text(out_text)

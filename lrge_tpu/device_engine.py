@@ -138,33 +138,58 @@ class DeviceOverlapEngine:
             import jax
 
             n_dev = int(os.environ.get("LRGE_SHARDS", "0")) or len(jax.devices())
-            if n_dev > 1 and not self.pb_mode:
-                # multi-chip: shard the target index across devices,
-                # replicate queries, psum disjoint per-shard counts
+            if n_dev > 1:
+                # multi-chip: shard the target index across devices
+                # (grouped dictionary + packed planes per shard), ride
+                # query blocks around the "data" axis, psum disjoint
+                # per-shard counts over "index"
                 from .parallel.sharded import (
-                    ShardedDeviceIndex,
+                    ShardedGroupedIndex,
                     make_mesh,
                     sharded_count_fn,
                 )
 
-                self.sharded = ShardedDeviceIndex.from_host(index, n_dev)
-                self._mesh = make_mesh(1, n_dev)
-                p = self.params
-                self._sharded_fn = sharded_count_fn(
-                    self._mesh,
-                    k=p.k,
-                    max_gap=p.max_gap,
-                    bw=p.bw,
-                    min_score=p.min_chain_score,
-                    num_anchors=num_anchors,
-                    window=window,
-                    no_dual=p.no_dual,
-                    no_diag=p.no_diag,
-                    max_chain_skip=p.max_chain_skip,
-                    q_occ_frac=p.q_occ_frac,
+                n_data = int(os.environ.get("LRGE_MESH_DATA", "0"))
+                if not n_data:
+                    import jax as _jax
+
+                    # multi-host: data axis spans processes so query
+                    # I/O shards per host; single-process: flat index
+                    n_data = _jax.process_count() if _jax.process_count() > 1 else 1
+                sgi = ShardedGroupedIndex.from_host(index, n_dev)
+                if sgi is not None:
+                    self.sharded = sgi
+                    self._mesh = make_mesh(n_data, n_dev // n_data)
+                    self._idx_tree = sgi.device_put(self._mesh)
+                    p = self.params
+                    self._sharded_fn = sharded_count_fn(
+                        self._mesh,
+                        k=p.k,
+                        max_gap=p.max_gap,
+                        bw=p.bw,
+                        min_score=p.min_chain_score,
+                        num_anchors=num_anchors,
+                        window=window,
+                        no_dual=p.no_dual,
+                        no_diag=p.no_diag,
+                        max_chain_skip=p.max_chain_skip,
+                        q_occ_frac=p.q_occ_frac,
+                        min_cnt=p.min_cnt,
+                        wide=sgi.wide,
+                        bucket_bits=sgi.bucket_bits,
+                        bucket_kmax=sgi.bucket_kmax,
+                        packed_rid_bits=sgi.packed_rid_bits,
+                        packed_dict_bits=sgi.packed_dict_bits,
+                    )
+                    logger.debug(
+                        "device engine: sharded over %d devices (%dx%d mesh)",
+                        n_dev, n_data, n_dev // n_data,
+                    )
+                    return
+                logger.warning(
+                    "sharded index build failed (bucket collisions); "
+                    "falling back to single-device grouped path"
                 )
-                logger.debug("device engine: sharded over %d devices", n_dev)
-                return
             # bound per-query anchors by splitting large indices into
             # sub-indices (counts are disjoint per sub-index and summed);
             # the minimizer lookup is shared across subs (grouped layout)
@@ -265,40 +290,38 @@ class DeviceOverlapEngine:
             return self.host.count_overlaps_many(items, want_pairs=True)
         return [(c, h, None) for c, h in self._host_count_many(items)]
 
-    def _sharded_group(self, mhash, mpos, mstrand, lengths, dual, selfr, nb):
+    def _sharded_group(self, q0, q1, mps, lengths, dual, selfr, nb):
         """Dispatch one super-batch group through the sharded mesh fn,
         returning arrays shaped like a map_many sub-result
-        ([SUPER, B] / [SUPER, B, P])."""
+        ([SUPER, B] / [SUPER, B, P]).
+
+        ``q0``/``q1`` are the query hash planes ([G, B, M]; uint32
+        mhash + dummy for ONT, int32 qhi/qlo for PacBio) and ``mps`` the
+        packed pos/strand plane matching the preset."""
         import jax.numpy as jnp
 
-        S = self.sharded.n_shards
         cs, ans, mrs, prs = [], [], [], []
-        for g in range(mhash.shape[0]):
+        for g in range(q0.shape[0]):
             c, a, r, pr = self._sharded_fn(
-                jnp.asarray(self.sharded.keys),
-                jnp.asarray(self.sharded.rid),
-                jnp.asarray(self.sharded.pos),
-                jnp.asarray(self.sharded.strand),
-                jnp.asarray(self.sharded.rank),
-                jnp.full((S, 1), self.sharded.mid_occ, jnp.int32),
-                mhash[g],
-                mpos[g],
-                mstrand[g],
+                self._idx_tree,
+                q0[g],
+                q1[g],
+                mps[g],
                 jnp.asarray(lengths[g]),
                 jnp.asarray(dual[g]),
                 jnp.asarray(selfr[g]),
-                jnp.full((S, 1), self.params.chn_pen_gap(), jnp.float32),
+                jnp.int32(self.sharded.mid_occ),
+                jnp.float32(self.params.chn_pen_gap()),
             )
             cs.append(c)
             ans.append(a)
             mrs.append(r)
             prs.append(pr)
-        return (
-            jnp.stack(cs),
-            jnp.stack(ans),
-            jnp.stack(mrs),
-            jnp.stack(prs),
-        )
+        # assemble on host: eager stacking of mesh-sharded outputs would
+        # launch a cross-device program per op (and aborts on the CPU
+        # collectives backend); the caller consumes numpy anyway
+        stack = lambda xs: np.stack([np.asarray(x) for x in xs])
+        return stack(cs), stack(ans), stack(mrs), stack(prs)
 
     def _host_share_fraction(self, n_dev_rows: int, pairs_wanted: bool) -> float:
         """Fraction of device-eligible rows handed to the concurrent
@@ -513,13 +536,26 @@ class DeviceOverlapEngine:
                 dual = np.where(ids >= 0, qdualrank[ids], 0).astype(np.int32)
                 selfr = np.where(ids >= 0, qselfrid[ids], -1).astype(np.int32)
                 if self.sharded is not None:
-                    mhash, mpos, mstrand, mcount_d = sketch_many(
-                        jnp.asarray(codes), jnp.asarray(lengths), k=p.k, w=p.w
-                    )
-                    subs = [
-                        self._sharded_group(
-                            mhash, mpos, mstrand, lengths, dual, selfr, nb
+                    if self.pb_mode:
+                        qhi, qlo, mps_h, mc_h = self._pb_planes(
+                            [seqs[i] if i >= 0 else b"" for i in ids.ravel()],
+                            minimizer_cap(L),
                         )
+                        SH = ids.shape
+                        M_L = qhi.shape[1]
+                        q0 = jnp.asarray(qhi.reshape(*SH, M_L))
+                        q1 = jnp.asarray(qlo.reshape(*SH, M_L))
+                        mpsd = jnp.asarray(mps_h.reshape(*SH, M_L))
+                        mcount_d = mc_h.reshape(SH)
+                    else:
+                        mhash, mpos, mstrand, mcount_d = sketch_many(
+                            jnp.asarray(codes), jnp.asarray(lengths), k=p.k, w=p.w
+                        )
+                        q0 = mhash
+                        q1 = jnp.zeros(mhash.shape[:2] + (1,), jnp.int32)
+                        mpsd = mpos * 2 + mstrand
+                    subs = [
+                        self._sharded_group(q0, q1, mpsd, lengths, dual, selfr, nb)
                     ]
                     inflight.append((nb, B, A, codes, lengths, ids, mcount_d, subs))
                     continue

@@ -36,13 +36,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG = jnp.int32(np.iinfo(np.int32).min // 2)  # headroom to avoid overflow
-IMAX = jnp.int32(np.iinfo(np.int32).max)
+# numpy (not jnp) scalars: creating a device array at import time would
+# initialise the XLA backend, which breaks jax.distributed.initialize
+# for any process that imports this module before joining the cluster
+NEG = np.int32(np.iinfo(np.int32).min // 2)  # headroom to avoid overflow
+IMAX = np.int32(np.iinfo(np.int32).max)
 
 # pair-plane capacity: per-query passing-target lists are clipped to
 # min(num_anchors, PAIR_CAP) slots — _reduce_counts and the lax.cond
 # empty branches must agree on this width or tracing fails
 PAIR_CAP = 512
+
+
+def _gather1(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Un-fused 1-D table gather.
+
+    XLA:TPU scalarises a gather that gets fused into a surrounding loop
+    emitter (producer index arithmetic or elementwise consumers):
+    measured 27-1700x slower than the standalone dynamic-gather kernel
+    on v5e (tools/gather_probe.py, 2026-08-19: a [1024,1664] probe loop
+    over a 6M-entry table runs 103 ms fused vs 0.06 ms barriered).
+    Optimization barriers on the indices and the result force the fast
+    path; every hot dictionary/posting lookup must go through here.
+    """
+    return jax.lax.optimization_barrier(
+        table[jax.lax.optimization_barrier(idx)]
+    )
 
 
 def mg_log2_jax(x: jnp.ndarray) -> jnp.ndarray:
@@ -67,6 +86,116 @@ def minimizer_cap(L: int) -> int:
     tile.
     """
     return max(128, ((2 * L // 5) + 127) // 128 * 128)
+
+def _q_occ_drop_narrow(mhash, mid_occ, q_occ_frac):
+    """mm_seed_mz_flt for single-plane (uint32) query hashes.
+
+    Drop query minimizers occurring > mid_occ times within the query
+    itself AND > q_occ_frac of the query's minimizer count; inactive
+    unless the query has > mid_occ minimizers.  Sort-based run-length
+    count (no scatters): sort (hash, slot), distribute run lengths
+    with a segmented scan, then restore slot order with a second sort.
+    Purely query-side (no index dependence), so shardable paths can
+    compute it once and reuse it against every index shard.
+    """
+    B, M = mhash.shape
+    slot_ids = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+    sh, sslot = jax.lax.sort((mhash, slot_ids), dimension=1, num_keys=1, is_stable=True)
+    newrun = jnp.concatenate(
+        [jnp.ones((B, 1), dtype=bool), sh[:, 1:] != sh[:, :-1]], axis=1
+    )
+    pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+
+    def seg_keep(a, b):
+        av, af = a
+        bv, bf = b
+        return (jnp.where(bf, bv, av), af | bf)
+
+    run_start, _ = jax.lax.associative_scan(
+        seg_keep, (jnp.where(newrun, pos, 0), newrun), axis=1
+    )
+    runend_flag = jnp.concatenate(
+        [sh[:, 1:] != sh[:, :-1], jnp.ones((B, 1), dtype=bool)], axis=1
+    )
+    run_end, _ = jax.lax.associative_scan(
+        seg_keep, (jnp.where(runend_flag, pos, 0), runend_flag), axis=1, reverse=True
+    )
+    run_cnt = run_end - run_start + 1
+    _, cnt_by_slot = jax.lax.sort((sslot, run_cnt), dimension=1, num_keys=1, is_stable=True)
+    n_mini = jnp.sum(mhash != jnp.uint32(0xFFFFFFFF), axis=1).astype(jnp.int32)
+    return (
+        (n_mini[:, None] > mid_occ)
+        & (cnt_by_slot > mid_occ)
+        & (
+            cnt_by_slot.astype(jnp.float32)
+            > n_mini[:, None].astype(jnp.float32) * jnp.float32(q_occ_frac)
+        )
+    )
+
+
+def _q_occ_drop_wide(qhi, qlo, pad, mid_occ, q_occ_frac):
+    """mm_seed_mz_flt for two-plane (wide/HPC) query hashes."""
+    B, M = qhi.shape
+    slot_ids = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+    shi = jnp.where(pad, IMAX, qhi)
+    slo = jnp.where(pad, IMAX, qlo)
+    shi_s, slo_s, sslot = jax.lax.sort(
+        (shi, slo, slot_ids), dimension=1, num_keys=2, is_stable=True
+    )
+    samerun = (shi_s[:, 1:] == shi_s[:, :-1]) & (slo_s[:, 1:] == slo_s[:, :-1])
+    newrun = jnp.concatenate([jnp.ones((B, 1), dtype=bool), ~samerun], axis=1)
+    pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+
+    def seg_keep(a, b):
+        av, af = a
+        bv, bf = b
+        return (jnp.where(bf, bv, av), af | bf)
+
+    run_start, _ = jax.lax.associative_scan(
+        seg_keep, (jnp.where(newrun, pos, 0), newrun), axis=1
+    )
+    runend_flag = jnp.concatenate([~samerun, jnp.ones((B, 1), dtype=bool)], axis=1)
+    run_end, _ = jax.lax.associative_scan(
+        seg_keep, (jnp.where(runend_flag, pos, 0), runend_flag), axis=1, reverse=True
+    )
+    run_cnt = run_end - run_start + 1
+    _, cnt_by_slot = jax.lax.sort(
+        (sslot, run_cnt), dimension=1, num_keys=1, is_stable=True
+    )
+    n_mini = jnp.sum(~pad, axis=1).astype(jnp.int32)
+    return (
+        (n_mini[:, None] > mid_occ)
+        & (cnt_by_slot > mid_occ)
+        & (
+            cnt_by_slot.astype(jnp.float32)
+            > n_mini[:, None].astype(jnp.float32) * jnp.float32(q_occ_frac)
+        )
+    )
+
+
+def _pb_probe(qhi, qlo, uh_hi, uh_lo, boff, *, hash_bits, bucket_bits, bucket_kmax):
+    """Bucketed dictionary probe for two-plane (wide) hashes: unique-hash
+    slot per minimizer (-1 miss).  Pure probe — occurrence/padding/q_occ
+    gates are the caller's job."""
+    B, M = qhi.shape
+    shift = hash_bits - bucket_bits
+    if shift >= _PB_SPLIT:
+        ub = qhi >> (shift - _PB_SPLIT)
+    else:
+        ub = (qhi << (_PB_SPLIT - shift)) | (qlo >> shift)
+    ub = jnp.clip(ub, 0, (1 << bucket_bits) - 1)
+    b0 = _gather1(boff, ub)
+    b1 = _gather1(boff, ub + 1)
+    U = uh_hi.shape[0]
+    found = jnp.full((B, M), -1, dtype=jnp.int32)
+    for j in range(bucket_kmax):
+        pos = b0 + j
+        ok = pos < b1
+        pc = jnp.minimum(pos, U - 1)
+        hit = ok & (_gather1(uh_hi, pc) == qhi) & (_gather1(uh_lo, pc) == qlo)
+        found = jnp.where(hit, pos, found)
+    return found
+
 
 def map_batch_core(
     idx_keys: jnp.ndarray,  # [N] int32 (hash ^ 0x80000000, sorted)
@@ -120,19 +249,19 @@ def map_batch_core(
         ub = jnp.minimum(mhash >> (hash_bits - bucket_bits), jnp.uint32(nb - 1)).astype(
             jnp.int32
         )
-        b0 = boff[ub]
-        b1 = boff[ub + 1]
+        b0 = _gather1(boff, ub)
+        b1 = _gather1(boff, ub + 1)
         U = uhash.shape[0]
         found = jnp.full((B, M), -1, dtype=jnp.int32)
         for j in range(bucket_kmax):
             pos = b0 + j
             ok = pos < b1
-            val = uhash[jnp.minimum(pos, U - 1)]
+            val = _gather1(uhash, jnp.minimum(pos, U - 1))
             hit = ok & (val == qk)
             found = jnp.where(hit, pos, found)
         foundc = jnp.maximum(found, 0)
-        start = uoff[foundc]
-        occ = jnp.where(found >= 0, uoff[foundc + 1] - start, 0).astype(jnp.int32)
+        start = _gather1(uoff, foundc)
+        occ = jnp.where(found >= 0, _gather1(uoff, foundc + 1) - start, 0).astype(jnp.int32)
     else:
         start = jnp.searchsorted(idx_keys, qk.ravel(), side="left").reshape(B, M)
         end = jnp.searchsorted(idx_keys, qk.ravel(), side="right").reshape(B, M)
@@ -143,40 +272,8 @@ def map_batch_core(
     occ = jnp.where(mhash == jnp.uint32(0xFFFFFFFF), 0, occ)
 
     # ---- q_occ filter (mm_seed_mz_flt) ----
-    # Drop query minimizers occurring > mid_occ times within the query
-    # itself AND > q_occ_frac of the query's minimizer count; inactive
-    # unless the query has > mid_occ minimizers.  Sort-based run-length
-    # count (no scatters): sort (hash, slot), distribute run lengths
-    # with a segmented scan, then restore slot order with a second sort.
     if q_occ_frac > 0:
-        slot_ids = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
-        sh, sslot = jax.lax.sort((mhash, slot_ids), dimension=1, num_keys=1, is_stable=True)
-        newrun = jnp.concatenate(
-            [jnp.ones((B, 1), dtype=bool), sh[:, 1:] != sh[:, :-1]], axis=1
-        )
-        pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
-
-        def seg_keep(a, b):
-            av, af = a
-            bv, bf = b
-            return (jnp.where(bf, bv, av), af | bf)
-
-        run_start, _ = jax.lax.associative_scan(seg_keep, (jnp.where(newrun, pos, 0), newrun), axis=1)
-        runend_flag = jnp.concatenate(
-            [sh[:, 1:] != sh[:, :-1], jnp.ones((B, 1), dtype=bool)], axis=1
-        )
-        run_end, _ = jax.lax.associative_scan(
-            seg_keep, (jnp.where(runend_flag, pos, 0), runend_flag), axis=1, reverse=True
-        )
-        run_cnt = run_end - run_start + 1
-        _, cnt_by_slot = jax.lax.sort((sslot, run_cnt), dimension=1, num_keys=1, is_stable=True)
-        n_mini = jnp.sum(mhash != jnp.uint32(0xFFFFFFFF), axis=1).astype(jnp.int32)
-        q_drop = (
-            (n_mini[:, None] > mid_occ)
-            & (cnt_by_slot > mid_occ)
-            & (cnt_by_slot.astype(jnp.float32) > n_mini[:, None].astype(jnp.float32) * jnp.float32(q_occ_frac))
-        )
-        occ = jnp.where(q_drop, 0, occ)
+        occ = jnp.where(_q_occ_drop_narrow(mhash, mid_occ, q_occ_frac), 0, occ)
 
     mps = mpos * 2 + mstrand
     return _expand_sort_chain(
@@ -299,19 +396,19 @@ def _expand_sort_chain(
     p_idx = jnp.clip(p_idx, 0, max(N - 1, 0))
 
     if packed_rid_bits:
-        pr = idx_rid[p_idx]  # the packed plane: ONE [B, A] gather
+        pr = _gather1(idx_rid, p_idx)  # the packed plane: ONE [B, A] gather
         rid = jnp.where(valid, pr >> (1 + packed_rid_bits), IMAX)
         rpos = jnp.where(valid, (pr >> 1) & ((1 << packed_rid_bits) - 1), 0)
         tstrand = pr & 1
     elif packed_pos:
-        rid = jnp.where(valid, idx_rid[p_idx], IMAX)
-        pp = idx_pos[p_idx]
+        rid = jnp.where(valid, _gather1(idx_rid, p_idx), IMAX)
+        pp = _gather1(idx_pos, p_idx)
         rpos = jnp.where(valid, pp >> 1, 0)
         tstrand = pp & 1
     else:
-        rid = jnp.where(valid, idx_rid[p_idx], IMAX)
-        rpos = jnp.where(valid, idx_pos[p_idx], 0)
-        tstrand = idx_strand[p_idx]
+        rid = jnp.where(valid, _gather1(idx_rid, p_idx), IMAX)
+        rpos = jnp.where(valid, _gather1(idx_pos, p_idx), 0)
+        tstrand = _gather1(idx_strand, p_idx)
     mps_a = mps_f
     qstr = mps_a & 1
     strand = jnp.where(valid, tstrand ^ qstr, 0)
@@ -331,7 +428,7 @@ def _expand_sort_chain(
     # ---- masks (MM_F_NO_DUAL / no-diag, aligner.rs:89-103) ----
     drop = jnp.zeros((B, A), dtype=bool)
     if no_dual:
-        rank = idx_rank[jnp.clip(rid, 0, idx_rank.shape[0] - 1)]
+        rank = _gather1(idx_rank, jnp.clip(rid, 0, idx_rank.shape[0] - 1))
         drop = drop | (valid & (rank < qdualrank[:, None]))
     if no_diag:
         drop = drop | (
@@ -962,14 +1059,14 @@ def _dict_lookup(mhash, uhash, boff, *, k, bucket_bits, bucket_kmax):
     ub = jnp.minimum(mhash >> (hash_bits - bucket_bits), jnp.uint32(nb - 1)).astype(
         jnp.int32
     )
-    b0 = boff[ub]
-    b1 = boff[ub + 1]
+    b0 = _gather1(boff, ub)
+    b1 = _gather1(boff, ub + 1)
     U = uhash.shape[0]
     found = jnp.full((B, M), -1, dtype=jnp.int32)
     for j in range(bucket_kmax):
         pos = b0 + j
         ok = pos < b1
-        val = uhash[jnp.minimum(pos, U - 1)]
+        val = _gather1(uhash, jnp.minimum(pos, U - 1))
         found = jnp.where(ok & (val == qk), pos, found)
     return found
 
@@ -1007,49 +1104,15 @@ def sketch_lookup_core(
         mhash, uhash, boff, k=k, bucket_bits=bucket_bits, bucket_kmax=bucket_kmax
     )
     fc = jnp.maximum(found, 0)
-    occg = jnp.where(found >= 0, uoff[fc + 1] - uoff[fc], 0).astype(jnp.int32)
+    occg = jnp.where(
+        found >= 0, _gather1(uoff, fc + 1) - _gather1(uoff, fc), 0
+    ).astype(jnp.int32)
     gate = (found >= 0) & (occg > 0) & (occg <= mid_occ)
     gate = gate & (mhash != jnp.uint32(0xFFFFFFFF))
 
     # mm_seed_mz_flt (q_occ filter), same formulation as map_batch_core
     if q_occ_frac > 0:
-        slot_ids = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
-        sh, sslot = jax.lax.sort(
-            (mhash, slot_ids), dimension=1, num_keys=1, is_stable=True
-        )
-        newrun = jnp.concatenate(
-            [jnp.ones((B, 1), dtype=bool), sh[:, 1:] != sh[:, :-1]], axis=1
-        )
-        pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
-
-        def seg_keep(a, b):
-            av, af = a
-            bv, bf = b
-            return (jnp.where(bf, bv, av), af | bf)
-
-        run_start, _ = jax.lax.associative_scan(
-            seg_keep, (jnp.where(newrun, pos, 0), newrun), axis=1
-        )
-        runend_flag = jnp.concatenate(
-            [sh[:, 1:] != sh[:, :-1], jnp.ones((B, 1), dtype=bool)], axis=1
-        )
-        run_end, _ = jax.lax.associative_scan(
-            seg_keep, (jnp.where(runend_flag, pos, 0), runend_flag), axis=1, reverse=True
-        )
-        run_cnt = run_end - run_start + 1
-        _, cnt_by_slot = jax.lax.sort(
-            (sslot, run_cnt), dimension=1, num_keys=1, is_stable=True
-        )
-        n_mini = jnp.sum(mhash != jnp.uint32(0xFFFFFFFF), axis=1).astype(jnp.int32)
-        q_drop = (
-            (n_mini[:, None] > mid_occ)
-            & (cnt_by_slot > mid_occ)
-            & (
-                cnt_by_slot.astype(jnp.float32)
-                > n_mini[:, None].astype(jnp.float32) * jnp.float32(q_occ_frac)
-            )
-        )
-        gate = gate & ~q_drop
+        gate = gate & ~_q_occ_drop_narrow(mhash, mid_occ, q_occ_frac)
 
     found = jnp.where(gate, found, -1)
     mps = mpos * 2 + mstrand
@@ -1134,14 +1197,14 @@ def map_found_core(
     fc = jnp.maximum(found, 0)
     if packed_dict_bits:
         # lo_plane packs (range_start << bits) | occ: ONE [B, M] gather
-        lo_occ = lo_plane[fc]
+        lo_occ = _gather1(lo_plane, fc)
         lo = lo_occ >> packed_dict_bits
         occ = jnp.where(
             found >= 0, lo_occ & ((1 << packed_dict_bits) - 1), 0
         ).astype(jnp.int32)
     else:
-        lo = lo_plane[fc]
-        hi = hi_plane[fc]
+        lo = _gather1(lo_plane, fc)
+        hi = _gather1(hi_plane, fc)
         occ = jnp.where(found >= 0, hi - lo, 0).astype(jnp.int32)
     return _expand_sort_chain(
         lo,
@@ -1433,69 +1496,19 @@ def pb_lookup_core(
     bucket_kmax,
     q_occ_frac,
 ):
-    B, M = qhi.shape
     pad = qhi < 0
-    shift = hash_bits - bucket_bits
-    if shift >= _PB_SPLIT:
-        ub = qhi >> (shift - _PB_SPLIT)
-    else:
-        ub = (qhi << (_PB_SPLIT - shift)) | (qlo >> shift)
-    ub = jnp.clip(ub, 0, (1 << bucket_bits) - 1)
-    b0 = boff[ub]
-    b1 = boff[ub + 1]
-    U = uh_hi.shape[0]
-    found = jnp.full((B, M), -1, dtype=jnp.int32)
-    for j in range(bucket_kmax):
-        pos = b0 + j
-        ok = pos < b1
-        pc = jnp.minimum(pos, U - 1)
-        hit = ok & (uh_hi[pc] == qhi) & (uh_lo[pc] == qlo)
-        found = jnp.where(hit, pos, found)
+    found = _pb_probe(
+        qhi, qlo, uh_hi, uh_lo, boff,
+        hash_bits=hash_bits, bucket_bits=bucket_bits, bucket_kmax=bucket_kmax,
+    )
     fc = jnp.maximum(found, 0)
-    occg = jnp.where(found >= 0, uoff[fc + 1] - uoff[fc], 0).astype(jnp.int32)
+    occg = jnp.where(
+        found >= 0, _gather1(uoff, fc + 1) - _gather1(uoff, fc), 0
+    ).astype(jnp.int32)
     gate = (found >= 0) & ~pad & (occg > 0) & (occg <= mid_occ)
 
     if q_occ_frac > 0:
-        # within-query occurrence counts over the two-plane hash
-        slot_ids = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
-        shi = jnp.where(pad, IMAX, qhi)
-        slo = jnp.where(pad, IMAX, qlo)
-        shi_s, slo_s, sslot = jax.lax.sort(
-            (shi, slo, slot_ids), dimension=1, num_keys=2, is_stable=True
-        )
-        samerun = (shi_s[:, 1:] == shi_s[:, :-1]) & (slo_s[:, 1:] == slo_s[:, :-1])
-        newrun = jnp.concatenate([jnp.ones((B, 1), dtype=bool), ~samerun], axis=1)
-        pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
-
-        def seg_keep(a, b):
-            av, af = a
-            bv, bf = b
-            return (jnp.where(bf, bv, av), af | bf)
-
-        run_start, _ = jax.lax.associative_scan(
-            seg_keep, (jnp.where(newrun, pos, 0), newrun), axis=1
-        )
-        runend_flag = jnp.concatenate(
-            [~samerun, jnp.ones((B, 1), dtype=bool)], axis=1
-        )
-        run_end, _ = jax.lax.associative_scan(
-            seg_keep, (jnp.where(runend_flag, pos, 0), runend_flag), axis=1,
-            reverse=True,
-        )
-        run_cnt = run_end - run_start + 1
-        _, cnt_by_slot = jax.lax.sort(
-            (sslot, run_cnt), dimension=1, num_keys=1, is_stable=True
-        )
-        n_mini = jnp.sum(~pad, axis=1).astype(jnp.int32)
-        q_drop = (
-            (n_mini[:, None] > mid_occ)
-            & (cnt_by_slot > mid_occ)
-            & (
-                cnt_by_slot.astype(jnp.float32)
-                > n_mini[:, None].astype(jnp.float32) * jnp.float32(q_occ_frac)
-            )
-        )
-        gate = gate & ~q_drop
+        gate = gate & ~_q_occ_drop_wide(qhi, qlo, pad, mid_occ, q_occ_frac)
 
     return jnp.where(gate, found, -1)
 

@@ -1,3 +1,3 @@
-from .sharded import ShardedDeviceIndex, make_mesh, sharded_count_fn
+from .sharded import ShardedGroupedIndex, make_mesh, sharded_count_fn
 
-__all__ = ["ShardedDeviceIndex", "make_mesh", "sharded_count_fn"]
+__all__ = ["ShardedGroupedIndex", "make_mesh", "sharded_count_fn"]

@@ -1,26 +1,34 @@
-"""Multi-chip scale-out: sharded target index + data-parallel queries.
+"""Multi-chip / multi-host scale-out: sharded target index + ring queries.
 
 The reference's only parallelism is shared-memory threads on one host
 (SURVEY.md C16).  The TPU-native scale-out design (BASELINE.json north
 star) instead shards the *work*, not the memory:
 
-* mesh axes ``("data", "index")`` over a `jax.sharding.Mesh`;
-* the **target read set is partitioned by read** (round-robin) across
-  the ``index`` axis — each device holds a complete sorted postings
-  sub-index for *its* targets, so chaining for a (query, target) pair
-  is always local to one device (no cross-device anchors);
-* **query batches are data-parallel** along ``data`` and replicated
-  along ``index``;
+* mesh axes ``("data", "index")`` over a `jax.sharding.Mesh` — in the
+  multi-host configuration ``data`` spans hosts and ``index`` spans the
+  chips within a host, so the target index is sharded across EVERY
+  device (hosts included) and query I/O is sharded per host;
+* the **target read set is partitioned by read** (``rid % S`` over the
+  ``S = data*index`` device grid) — each device holds a complete
+  grouped sub-index (bucketed hash dictionary + packed posting planes,
+  the same layout as the single-chip fast path) for *its* targets, so
+  chaining for a (query, target) pair is always local to one device;
+* **query blocks ride a ring** around the ``data`` axis
+  (`jax.lax.ppermute`): each block visits every data row once,
+  accumulating counts against that row's index shards, and arrives
+  back home after ``n_data`` hops.  Ring traffic is the query
+  minimizer planes + accumulators (small), never the index (large);
 * per-device unique-target counts are disjoint by construction, so the
-  merge is a single ``psum`` over the ``index`` axis riding ICI.
+  final merge is one ``psum`` over the ``index`` axis riding ICI.
 
-The occurrence cutoff (``mid_occ``) is computed from the *global* index
+The occurrence cutoff (``mid_occ``) is applied to the *global* index
 before sharding, preserving exact parity with the single-chip path.
+Both presets shard: ONT (narrow 30-bit keys, device sketch) and
+PacBio/HPC (wide 38-bit keys in two planes, host sketch).
 """
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
@@ -29,7 +37,17 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.index import TargetIndex
-from ..ops.overlap_jax import map_batch_core
+from ..ops.overlap_jax import (
+    _PB_LOMASK,
+    _PB_SPLIT,
+    _dict_lookup,
+    _expand_sort_chain,
+    _pb_probe,
+    _pruned_postings,
+    _q_occ_drop_narrow,
+    _q_occ_drop_wide,
+    PAIR_CAP,
+)
 
 
 def make_mesh(n_data: int, n_index: int, devices=None) -> Mesh:
@@ -41,136 +59,317 @@ def make_mesh(n_data: int, n_index: int, devices=None) -> Mesh:
 
 
 @dataclass
-class ShardedDeviceIndex:
-    """Per-shard index arrays stacked along a leading shard axis.
+class ShardedGroupedIndex:
+    """Per-shard grouped index arrays stacked along a leading S axis.
 
-    Shard ``s`` owns target reads ``{i : i % n_shards == s}``; its
-    postings are re-sorted locally and padded to the max shard size with
-    sentinel keys (which can never match a valid query hash because
-    invalid query slots are masked out in the core).
+    Shard ``s`` owns target reads ``{i : i % S == s}``; each shard gets
+    its own bucketed unique-hash dictionary and (optionally packed)
+    posting planes — the same gather-lean layout as the single-chip
+    ``GroupedDeviceIndex`` — padded to common shapes so ONE compiled
+    program serves every shard.  Padded dictionary slots are
+    unreachable (bucket offsets only span real uniques) and padded
+    posting slots are never gathered (occ = 0 for missing keys).
     """
 
-    keys: np.ndarray  # [S, Npad] int32 (transformed hashes, sorted per shard)
-    rid: np.ndarray  # [S, Npad] int32 — GLOBAL target ids
-    pos: np.ndarray  # [S, Npad] int32
-    strand: np.ndarray  # [S, Npad] int32
+    post0: np.ndarray  # [S, Npad] int32: packed rid<<(1+bits)|pos<<1|strand, or rid
+    post1: np.ndarray  # [S, Npad] int32: pos<<1|strand (ignored when packed)
     rank: np.ndarray  # [T] int32 global name ranks (replicated)
     mid_occ: int
     n_shards: int
+    uhash: np.ndarray  # [S, Upad] int32 (hi plane when wide)
+    uhash_lo: np.ndarray  # [S, Upad] int32 (zeros when narrow)
+    dict0: np.ndarray  # [S, Upad] int32: packed start<<occ_bits|occ, or range start
+    dict1: np.ndarray  # [S, Upad] int32: range end (ignored when packed)
+    boff: np.ndarray  # [S, 2^bits+1] int32 bucket offsets
+    bucket_bits: int
+    bucket_kmax: int
+    packed_rid_bits: int  # = pos_bits when posting packing active, else 0
+    packed_dict_bits: int  # = occ_bits when dictionary packing active, else 0
+    wide: bool
 
     @classmethod
-    def from_host(cls, index: TargetIndex, n_shards: int) -> "ShardedDeviceIndex":
-        # Apply the GLOBAL occurrence pruning before sharding: a
-        # minimizer whose global occurrence exceeds mid_occ must be
-        # dropped even when its per-shard occurrence is below the cutoff
-        # (the in-core test sees only per-shard counts).  Same pruning
-        # as DeviceIndex.from_host.
-        from ..ops.overlap_jax import _pruned_postings
-
+    def from_host(cls, index: TargetIndex, n_shards: int):
+        """Build from a host index; returns None when no device-friendly
+        dictionary exists (pathological bucket collisions)."""
         pkeys, prid, ppos, pstrand = _pruned_postings(index)
-        keys32 = (pkeys.astype(np.uint32) ^ np.uint32(0x80000000)).view(np.int32)
-        shard_of = prid % n_shards
-        sizes = [int((shard_of == s).sum()) for s in range(n_shards)]
-        npad = max(sizes + [1])
-        IMAX = np.iinfo(np.int32).max
-        keys = np.full((n_shards, npad), IMAX, dtype=np.int32)
-        rid = np.full((n_shards, npad), IMAX, dtype=np.int32)
-        pos = np.zeros((n_shards, npad), dtype=np.int32)
-        strand = np.zeros((n_shards, npad), dtype=np.int32)
-        for s in range(n_shards):
+        N = len(pkeys)
+        S = n_shards
+        k = index.params.k
+        hash_bits = 2 * k
+        wide = hash_bits > 31
+        shard_of = prid % S if N else np.zeros(0, np.int64)
+
+        # global packing decisions (must be identical across shards so a
+        # single compiled program serves them all)
+        T = len(index.name_rank)
+        rid_bits = max(1, int(T - 1).bit_length()) if T else 1
+        max_pos = int(ppos.max()) if N else 0
+        pos_bits = max(1, max_pos.bit_length())
+        packed_rid_bits = pos_bits if (not wide and rid_bits + pos_bits + 1 <= 31) else 0
+
+        per_shard = []
+        max_n = 1
+        max_u = 1
+        for s in range(S):
             sel = np.flatnonzero(shard_of == s)
-            sk = keys32[sel]
-            order = np.argsort(sk, kind="stable")  # keys already grouped; keep (rid,pos) order
-            n = len(sel)
-            keys[s, :n] = sk[order]
-            rid[s, :n] = prid[sel][order]
-            pos[s, :n] = ppos[sel][order]
-            strand[s, :n] = pstrand[sel][order].astype(np.int32)
+            skeys = pkeys[sel]  # sorted (global order preserved)
+            srid = prid[sel].astype(np.int32)
+            spos = (ppos[sel].astype(np.int32) << 1) | pstrand[sel].astype(np.int32)
+            if len(skeys):
+                ustart = np.flatnonzero(
+                    np.concatenate(([True], skeys[1:] != skeys[:-1]))
+                )
+            else:
+                ustart = np.zeros(0, np.int64)
+            uoff = np.concatenate([ustart, [len(skeys)]]).astype(np.int32)
+            per_shard.append((skeys, srid, spos, ustart, uoff))
+            max_n = max(max_n, len(skeys))
+            max_u = max(max_u, len(ustart))
+
+        # shared bucket-bits from the largest shard's unique count
+        bucket_bits = int(np.ceil(np.log2(max(max_u, 2)))) + 2
+        bucket_bits = min(max(bucket_bits, 12), 26, hash_bits - 1)
+        nb = 1 << bucket_bits
+
+        # dictionary packing: per-(shard, unique) occurrence and local
+        # range starts (posting arrays are per-shard, so starts are
+        # shard-local offsets)
+        max_occ = 1
+        for skeys, srid, spos, ustart, uoff in per_shard:
+            if len(ustart):
+                max_occ = max(max_occ, int(np.max(np.diff(uoff))))
+        occ_bits = max(1, int(max_occ).bit_length())
+        lo_bits = max(1, int(max_n).bit_length())
+        packed_dict_bits = occ_bits if lo_bits + occ_bits <= 31 else 0
+
+        IMAX = np.iinfo(np.int32).max
+        post0 = np.full((S, max_n), IMAX, np.int32)
+        post1 = np.zeros((S, max_n), np.int32)
+        uhash = np.full((S, max_u), IMAX, np.int32)
+        uhash_lo = np.zeros((S, max_u), np.int32)
+        dict0 = np.zeros((S, max_u), np.int32)
+        dict1 = np.zeros((S, max_u), np.int32)
+        boff = np.zeros((S, nb + 1), np.int32)
+        kmax = 4
+        for s, (skeys, srid, spos, ustart, uoff) in enumerate(per_shard):
+            n = len(skeys)
+            u = len(ustart)
+            if packed_rid_bits:
+                post0[s, :n] = (srid << (1 + packed_rid_bits)) | spos
+            else:
+                post0[s, :n] = srid
+                post1[s, :n] = spos
+            if u == 0:
+                continue
+            uh_u = skeys[ustart].astype(np.uint64)
+            if wide:
+                uhash[s, :u] = (uh_u >> np.uint64(_PB_SPLIT)).astype(np.int32)
+                uhash_lo[s, :u] = (uh_u & np.uint64(_PB_LOMASK)).astype(np.int32)
+            else:
+                uhash[s, :u] = (
+                    skeys[ustart].astype(np.uint32) ^ np.uint32(0x80000000)
+                ).view(np.int32)
+            if packed_dict_bits:
+                dict0[s, :u] = (uoff[:-1] << packed_dict_bits) | np.diff(uoff)
+            else:
+                dict0[s, :u] = uoff[:-1]
+                dict1[s, :u] = uoff[1:]
+            ub = (uh_u >> np.uint64(hash_bits - bucket_bits)).astype(np.int64)
+            bo = np.zeros(nb + 1, np.int32)
+            np.add.at(bo, ub + 1, 1)
+            np.cumsum(bo, out=bo)
+            boff[s] = bo
+            kmax = max(kmax, int(np.max(np.diff(bo))))
+        if kmax > 24:
+            return None  # pathological bucket collisions; caller falls back
         return cls(
-            keys=keys,
-            rid=rid,
-            pos=pos,
-            strand=strand,
+            post0=post0,
+            post1=post1,
             rank=index.name_rank.astype(np.int32),
             mid_occ=int(index.mid_occ),
-            n_shards=n_shards,
+            n_shards=S,
+            uhash=uhash,
+            uhash_lo=uhash_lo,
+            dict0=dict0,
+            dict1=dict1,
+            boff=boff,
+            bucket_bits=bucket_bits,
+            bucket_kmax=kmax,
+            packed_rid_bits=packed_rid_bits,
+            packed_dict_bits=packed_dict_bits,
+            wide=wide,
+        )
+
+    def device_put(self, mesh: Mesh):
+        """Transfer the stacked shard arrays to the mesh ONCE.
+
+        The leading S axis is split over BOTH mesh axes (data-major) —
+        in the multi-host mesh each process only materialises its
+        addressable shards.  Returns the pytree of global arrays the
+        :func:`sharded_count_fn` jit expects as its index operands.
+        """
+        sh = NamedSharding(mesh, P(("data", "index"), None))
+        rep = NamedSharding(mesh, P(None))
+        return (
+            jax.device_put(self.post0, sh),
+            jax.device_put(self.post1, sh),
+            jax.device_put(self.rank, rep),
+            jax.device_put(self.uhash, sh),
+            jax.device_put(self.uhash_lo, sh),
+            jax.device_put(self.dict0, sh),
+            jax.device_put(self.dict1, sh),
+            jax.device_put(self.boff, sh),
         )
 
 
-def sharded_count_fn(mesh: Mesh, *, k, max_gap, bw, min_score, num_anchors, window,
-                     no_dual, no_diag, max_chain_skip=25, q_occ_frac=0.01):
-    """Build a jitted shard_map counting function over ``mesh``.
+def sharded_count_fn(
+    mesh: Mesh,
+    *,
+    k,
+    max_gap,
+    bw,
+    min_score,
+    num_anchors,
+    window,
+    no_dual,
+    no_diag,
+    max_chain_skip=25,
+    q_occ_frac=0.01,
+    min_cnt=3,
+    wide=False,
+    bucket_bits=22,
+    bucket_kmax=8,
+    packed_rid_bits=0,
+    packed_dict_bits=0,
+    want_pairs=True,
+):
+    """Build the jitted ring-counting function over ``mesh``.
 
-    Returns ``fn(idx_keys [S,Npad], idx_rid, idx_pos, idx_strand,
-    rank [T], mid_occ, mhash [B,M], mpos, mstrand, qlen, qdualrank,
-    qselfrid, chn_pen_gap) -> (counts [B], n_anchors [B], max_run [B])``
-    where B is the *global* query batch (sharded over "data") and the
-    leading S axis is sharded over "index".
+    Returns ``fn(idx_tree, q0, q1, mps, qlen, qdualrank, qselfrid,
+    mid_occ, chn_pen_gap) -> (counts [B], n_anchors [B], max_run [B],
+    pair_rids [B, ...])`` where ``idx_tree`` is
+    :meth:`ShardedGroupedIndex.device_put`'s result, ``q0``/``q1`` are
+    the query hash planes ([B, M] uint32 ``mhash`` + dummy when narrow;
+    int32 ``qhi``/``qlo`` when wide), and ``mps`` is the packed
+    query-pos/strand plane (``pos*2|strand`` narrow,
+    ``pos<<9|span<<1|strand`` wide).  B is the *global* query batch,
+    sharded over "data" and replicated over "index".
     """
-
     from ..utils.jaxcache import enable_cache
 
     enable_cache()
+    n_data, n_index = mesh.devices.shape
+    hash_bits = 2 * k
 
-    def per_device(idx_keys, idx_rid, idx_pos, idx_strand, rank, mid_occ,
-                   mhash, mpos, mstrand, qlen, qdualrank, qselfrid, chn_pen_gap):
-        # inside shard_map: leading shard axes are size 1 on each device
-        counts, n_anchors, max_run, pair_rids = map_batch_core(
-            idx_keys[0],
-            idx_rid[0],
-            idx_pos[0],
-            idx_strand[0],
-            rank,
-            mid_occ[0][0],
-            mhash,
-            mpos,
-            mstrand,
-            qlen,
-            qdualrank,
-            qselfrid,
-            chn_pen_gap[0][0],
-            k=k,
-            max_gap=max_gap,
-            bw=bw,
-            min_score=min_score,
-            num_anchors=num_anchors,
-            window=window,
-            no_dual=no_dual,
-            no_diag=no_diag,
-            max_chain_skip=max_chain_skip,
-            q_occ_frac=q_occ_frac,
-        )
-        # disjoint target shards: merge with collectives over ICI
+    def per_device(post0, post1, rank, uhash, uhash_lo, dict0, dict1, boff,
+                   q0, q1, mps, qlen, qdual, qself, mid_occ, pen):
+        # index operands arrive with a leading local-shard axis of 1
+        post0, post1 = post0[0], post1[0]
+        uhash, uhash_lo = uhash[0], uhash_lo[0]
+        dict0, dict1, boff = dict0[0], dict1[0], boff[0]
+        b, M = q0.shape
+        mid = mid_occ
+
+        # ---- query-side filters: computed once, ride the ring ----
+        if wide:
+            pad = q0 < 0
+            drop = _q_occ_drop_wide(q0, q1, pad, mid, q_occ_frac) if q_occ_frac > 0 else jnp.zeros_like(pad)
+        else:
+            pad = q0 == jnp.uint32(0xFFFFFFFF)
+            drop = _q_occ_drop_narrow(q0, mid, q_occ_frac) if q_occ_frac > 0 else jnp.zeros_like(pad)
+        keep = ~(pad | drop)
+
+        PM = min(num_anchors, PAIR_CAP) if want_pairs else 1
+        counts = jnp.zeros((b,), jnp.int32)
+        na = jnp.zeros((b,), jnp.int32)
+        mr = jnp.zeros((b,), jnp.int32)
+        pairs = jnp.full((b, n_data * PM), -1, jnp.int32)
+        block = (q0, q1, mps, qlen, qdual, qself, keep)
+
+        # ---- ring over the data axis: the block visits every row ----
+        for step in range(n_data):
+            c0, c1, cmps, cql, cqd, cqs, ckeep = block
+            if wide:
+                found = _pb_probe(
+                    c0, c1, uhash, uhash_lo, boff,
+                    hash_bits=hash_bits, bucket_bits=bucket_bits,
+                    bucket_kmax=bucket_kmax,
+                )
+            else:
+                found = _dict_lookup(
+                    c0, uhash, boff,
+                    k=k, bucket_bits=bucket_bits, bucket_kmax=bucket_kmax,
+                )
+            fc = jnp.maximum(found, 0)
+            if packed_dict_bits:
+                lo_occ = dict0[fc]
+                lo = lo_occ >> packed_dict_bits
+                occ = (lo_occ & ((1 << packed_dict_bits) - 1)).astype(jnp.int32)
+            else:
+                lo = dict0[fc]
+                occ = (dict1[fc] - lo).astype(jnp.int32)
+            occ = jnp.where(ckeep & (found >= 0) & (occ <= mid), occ, 0)
+            c, a, r, pr = _expand_sort_chain(
+                lo, occ, cmps, cql, cqd, cqs,
+                post0, post1, post1, rank, pen,
+                k=k, max_gap=max_gap, bw=bw, min_score=min_score,
+                num_anchors=num_anchors, window=window,
+                no_dual=no_dual, no_diag=no_diag,
+                max_chain_skip=max_chain_skip,
+                packed_pos=True, use_pallas=False, pallas_block=8,
+                pallas_interpret=False, with_spans=wide, min_cnt=min_cnt,
+                want_pairs=want_pairs, packed_rid_bits=packed_rid_bits,
+            )
+            counts = counts + c
+            na = jnp.maximum(na, a)
+            mr = jnp.maximum(mr, r)
+            if want_pairs:
+                pairs = jax.lax.dynamic_update_slice(pairs, pr, (0, step * PM))
+            if n_data > 1:
+                # rotate block + accumulators one row forward; after
+                # n_data hops everything is back on its home row
+                perm = [(i, (i + 1) % n_data) for i in range(n_data)]
+                rot = lambda x: jax.lax.ppermute(x, "data", perm)
+                block = jax.tree.map(rot, (c0, c1, cmps, cql, cqd, cqs, ckeep))
+                counts, na, mr, pairs = jax.tree.map(rot, (counts, na, mr, pairs))
+
+        # ---- disjoint target shards: merge over ICI ----
         counts = jax.lax.psum(counts, axis_name="index")
-        n_anchors = jax.lax.pmax(n_anchors, axis_name="index")
-        max_run = jax.lax.pmax(max_run, axis_name="index")
-        # per-query passing-target lists (global rids, disjoint across
-        # shards): all_gather over the index axis, concat per query
-        allp = jax.lax.all_gather(pair_rids, axis_name="index")  # [S, B, P]
-        allp = jnp.transpose(allp, (1, 0, 2)).reshape(pair_rids.shape[0], -1)
-        return counts, n_anchors, max_run, allp
+        na = jax.lax.pmax(na, axis_name="index")
+        mr = jax.lax.pmax(mr, axis_name="index")
+        allp = jax.lax.all_gather(pairs, axis_name="index")  # [S_idx, b, n_data*PM]
+        allp = jnp.transpose(allp, (1, 0, 2)).reshape(b, -1)
+        return counts, na, mr, allp
 
+    idx_spec = P(("data", "index"), None)
     shard = jax.shard_map(
         per_device,
         mesh=mesh,
         in_specs=(
-            P("index", None),  # idx keys [S, Npad]
-            P("index", None),
-            P("index", None),
-            P("index", None),
+            idx_spec,  # post0
+            idx_spec,  # post1
             P(None),  # rank (replicated)
-            P("index", None),  # mid_occ as [S, 1]
-            P("data", None),  # mhash [B, M]
-            P("data", None),
-            P("data", None),
-            P("data"),
-            P("data"),
-            P("data"),
-            P("index", None),  # chn_pen_gap as [S, 1]
+            idx_spec,  # uhash
+            idx_spec,  # uhash_lo
+            idx_spec,  # dict0
+            idx_spec,  # dict1
+            idx_spec,  # boff
+            P("data", None),  # q0
+            P("data", None),  # q1
+            P("data", None),  # mps
+            P("data"),  # qlen
+            P("data"),  # qdual
+            P("data"),  # qself
+            P(),  # mid_occ scalar
+            P(),  # chn_pen_gap scalar
         ),
         out_specs=(P("data"), P("data"), P("data"), P("data", None)),
         # the scan carry is initialised inside the mapped function; skip
         # the varying-manual-axes check rather than pcast every buffer
         check_vma=False,
     )
-    return jax.jit(shard)
+
+    def fn(idx_tree, q0, q1, mps, qlen, qdual, qself, mid_occ, pen):
+        return shard(*idx_tree, q0, q1, mps, qlen, qdual, qself, mid_occ, pen)
+
+    return jax.jit(fn)

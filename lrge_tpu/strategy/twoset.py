@@ -221,8 +221,18 @@ class TwoSetStrategy(Estimate):
         dev = DeviceOverlapEngine(engine.index)
         names = [n for n, _ in queries]
         seqs = [s for _, s in queries]
-        dev.warmup([len(s) for s in seqs])
-        res = dev.count_batch(names, seqs)
+        from ..parallel.distributed import is_multihost
+
+        if is_multihost() and dev.sharded is not None:
+            # lockstep multi-process counting: query I/O sharded per
+            # host, index sharded across every chip; all processes get
+            # the same global counts back (docs/SCALING.md)
+            from ..parallel.distributed import multihost_count_batch
+
+            res = multihost_count_batch(dev, names, seqs)
+        else:
+            dev.warmup([len(s) for s in seqs])
+            res = dev.count_batch(names, seqs)
         no_mapping_count = int((~res.had_mapping).sum())
         estimates = per_read_estimate_batch(
             np.array([len(s) for s in seqs]),

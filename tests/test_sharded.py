@@ -28,28 +28,27 @@ def corpus():
     return targets, tnames, queries, qnames
 
 
-def _sharded_counts(corpus, n_data, n_index, window=128):
+def _sharded_counts(corpus, n_data, n_index, window=128, platform=None):
     import jax.numpy as jnp
 
     from lrge_tpu.ops.encode import make_batches
     from lrge_tpu.ops.index import build_index
     from lrge_tpu.ops.sketch_jax import sketch_batch_exact
     from lrge_tpu.parallel.sharded import (
-        ShardedDeviceIndex,
+        ShardedGroupedIndex,
         make_mesh,
         sharded_count_fn,
     )
     from lrge_tpu.platform import Platform, preset_for
 
     targets, tnames, queries, qnames = corpus
-    params = preset_for(Platform.NANOPORE, dual=True)
+    params = preset_for(platform or Platform.NANOPORE, dual=True)
     index = build_index(targets, tnames, params)
-    sharded = ShardedDeviceIndex.from_host(index, n_index)
+    S = n_data * n_index
+    sharded = ShardedGroupedIndex.from_host(index, S)
     mesh = make_mesh(n_data, n_index)
-    (batch,) = make_batches(queries, batch_size=len(queries), pad_to=2048, length_sorted=False)
-    mhash, mpos, mstrand, _ = sketch_batch_exact(
-        batch.codes, batch.lengths, k=params.k, w=params.w, max_minimizers=1024
-    )
+    idx_tree = sharded.device_put(mesh)
+    B = len(queries)
     fn = sharded_count_fn(
         mesh,
         k=params.k,
@@ -60,26 +59,61 @@ def _sharded_counts(corpus, n_data, n_index, window=128):
         window=window,
         no_dual=params.no_dual,
         no_diag=params.no_diag,
+        q_occ_frac=params.q_occ_frac,
+        min_cnt=params.min_cnt,
+        wide=sharded.wide,
+        bucket_bits=sharded.bucket_bits,
+        bucket_kmax=sharded.bucket_kmax,
+        packed_rid_bits=sharded.packed_rid_bits,
+        packed_dict_bits=sharded.packed_dict_bits,
     )
-    B = len(queries)
-    S = n_index
+    if sharded.wide:
+        from lrge_tpu.ops.overlap_jax import minimizer_cap
+        from lrge_tpu.ops.sketch import sketch_seqs_native
+
+        M = 1024
+        mzs = sketch_seqs_native(queries, params.k, params.w, params.hpc)
+        qhi = np.full((B, M), -1, dtype=np.int32)
+        qlo = np.zeros((B, M), dtype=np.int32)
+        mps = np.zeros((B, M), dtype=np.int32)
+        for i, mz in enumerate(mzs):
+            h38 = mz.key >> np.uint64(8)
+            c = min(len(h38), M)
+            qhi[i, :c] = (h38 >> np.uint64(19)).astype(np.int32)[:c]
+            qlo[i, :c] = (h38 & np.uint64((1 << 19) - 1)).astype(np.int32)[:c]
+            span = (mz.key & np.uint64(0xFF)).astype(np.int32)
+            mps[i, :c] = (
+                (mz.pos.astype(np.int32)[:c] << 9) | (span[:c] << 1)
+                | mz.strand.astype(np.int32)[:c]
+            )
+        q0, q1, mpsd = jnp.asarray(qhi), jnp.asarray(qlo), jnp.asarray(mps)
+        qlen = jnp.asarray(np.array([len(q) for q in queries], np.int32))
+        ids_ok = True
+    else:
+        (batch,) = make_batches(
+            queries, batch_size=len(queries), pad_to=2048, length_sorted=False
+        )
+        mhash, mpos, mstrand, _ = sketch_batch_exact(
+            batch.codes, batch.lengths, k=params.k, w=params.w, max_minimizers=1024
+        )
+        q0 = jnp.asarray(mhash)
+        q1 = jnp.zeros((B, 1), jnp.int32)
+        mpsd = jnp.asarray(mpos * 2 + mstrand)
+        qlen = jnp.asarray(batch.lengths)
+        ids_ok = (batch.ids == np.arange(B)).all()
     counts, n_anchors, max_run, _pairs = fn(
-        jnp.asarray(sharded.keys),
-        jnp.asarray(sharded.rid),
-        jnp.asarray(sharded.pos),
-        jnp.asarray(sharded.strand),
-        jnp.asarray(sharded.rank),
-        jnp.full((S, 1), sharded.mid_occ, jnp.int32),
-        jnp.asarray(mhash),
-        jnp.asarray(mpos),
-        jnp.asarray(mstrand),
-        jnp.asarray(batch.lengths),
+        idx_tree,
+        q0,
+        q1,
+        mpsd,
+        qlen,
         jnp.zeros(B, jnp.int32),
         jnp.full(B, -1, jnp.int32),
-        jnp.full((S, 1), params.chn_pen_gap(), jnp.float32),
+        jnp.int32(sharded.mid_occ),
+        jnp.float32(params.chn_pen_gap()),
     )
     # undo length-sorted=False: batch.ids is identity here
-    assert (batch.ids == np.arange(B)).all()
+    assert ids_ok
     return np.asarray(counts), index
 
 
@@ -109,13 +143,27 @@ class TestShardedCounts:
         expected = _host_counts(corpus, index)
         np.testing.assert_array_equal(counts, expected)
 
+    def test_mesh_2x4_pacbio_matches_host(self, corpus):
+        """Wide-key (HPC) preset shards too: host-sketched two-plane
+        lookup + span-aware chaining on every shard (VERDICT r2 item 3)."""
+        from lrge_tpu.native import native
+        from lrge_tpu.platform import Platform
+
+        if native is None:
+            pytest.skip("native sketcher unavailable")
+        counts, index = _sharded_counts(
+            corpus, n_data=2, n_index=4, platform=Platform.PACBIO
+        )
+        expected = _host_counts(corpus, index)
+        np.testing.assert_array_equal(counts, expected)
+
 
 def test_global_pruning_applied_before_sharding():
     """A minimizer with global occurrence above mid_occ must be absent
     from every shard, even when its per-shard occurrence is below the
     cutoff (regression for the round-1 sharded parity bug)."""
     from lrge_tpu.ops.index import TargetIndex
-    from lrge_tpu.parallel.sharded import ShardedDeviceIndex
+    from lrge_tpu.parallel.sharded import ShardedGroupedIndex
     from lrge_tpu.platform import AVA_ONT
 
     # hash 500 occurs 12 times globally (> mid_occ=10) spread over 12
@@ -136,12 +184,12 @@ def test_global_pruning_applied_before_sharding():
         params=AVA_ONT,
         name_rank=np.arange(16, dtype=np.int32),
     )
-    sharded = ShardedDeviceIndex.from_host(index, 4)
+    sharded = ShardedGroupedIndex.from_host(index, 4)
     rep32 = int((np.uint32(500) ^ np.uint32(0x80000000)).view(np.int32))
-    assert not (sharded.keys == rep32).any(), "over-occurring key leaked into shards"
-    # the unique keys survive
+    assert not (sharded.uhash == rep32).any(), "over-occurring key leaked into shards"
+    # the unique keys survive in the shard dictionaries
     u32 = (uniq.astype(np.uint32) ^ np.uint32(0x80000000)).view(np.int32)
-    assert np.isin(u32, sharded.keys.ravel()).all()
+    assert np.isin(u32, sharded.uhash.ravel()).all()
 
 
 def test_sharded_strategy_e2e_equals_host(tmp_path, monkeypatch):

@@ -5,7 +5,7 @@ sys.argv = ["bench"]
 import bench as B
 from lrge_tpu.device_engine import DeviceOverlapEngine
 from lrge_tpu.ops.index import build_index
-from lrge_tpu.ops.overlap_jax import sketch_lookup_many, IMAX as _IMAX
+from lrge_tpu.ops.overlap_jax import sketch_lookup_many, _gather1, IMAX as _IMAX
 from lrge_tpu.platform import Platform, preset_for
 from lrge_tpu.ops.encode import encode_seq
 
@@ -44,11 +44,11 @@ def stagefn(stage):
             Bq, M = fo.shape
             fc = jnp.maximum(fo, 0)
             if DICT_BITS:
-                lc = loocc[fc]
+                lc = _gather1(loocc, fc)
                 l = lc >> DICT_BITS
                 occ = jnp.where(fo >= 0, lc & ((1 << DICT_BITS) - 1), 0).astype(jnp.int32)
             else:
-                l = lo[fc]; h = hi[fc]
+                l = _gather1(lo, fc); h = _gather1(hi, fc)
                 occ = jnp.where(fo >= 0, h - l, 0).astype(jnp.int32)
             if stage == "occ": return occ.sum(axis=1)
             cum = jnp.cumsum(occ, axis=1); total = cum[:, -1]
@@ -72,13 +72,13 @@ def stagefn(stage):
             p_idx = jnp.clip(slots[None,:] + adj_f, 0, rid_t.shape[0]-1)
             if stage == "expand": return p_idx.sum(axis=1)
             if RID_BITS:
-                pr = rps[p_idx]
+                pr = _gather1(rps, p_idx)
                 rid = jnp.where(valid, pr >> (1 + RID_BITS), IMAX)
                 rpos = jnp.where(valid, (pr >> 1) & ((1 << RID_BITS) - 1), 0)
                 tstrand = pr & 1
             else:
-                rid = jnp.where(valid, rid_t[p_idx], IMAX)
-                pp = pos_t[p_idx]
+                rid = jnp.where(valid, _gather1(rid_t, p_idx), IMAX)
+                pp = _gather1(pos_t, p_idx)
                 rpos = jnp.where(valid, pp >> 1, 0)
                 tstrand = pp & 1
             qstr = mps_f & 1
@@ -93,11 +93,14 @@ def stagefn(stage):
         return jax.lax.map(body, (found, mps, qlen))
     return run
 
+REPS = 5
 for stage in ["occ", "expand", "gather", "sort"]:
     f = stagefn(stage)
     o = f(found, mps, qlen); jax.block_until_ready(o); t0=time.time()
-    o = f(found, mps, qlen); jax.block_until_ready(o); t1=time.time()
-    print(f"{stage}: {t1-t0:.3f}s", file=sys.stderr)
+    for _ in range(REPS):
+        o = f(found, mps, qlen)
+    jax.block_until_ready(o); t1=time.time()
+    print(f"{stage}: {(t1-t0)/REPS:.3f}s", file=sys.stderr)
 
 # full map program (adds the chain DP scan + reduce on top of "sort")
 from lrge_tpu.ops.overlap_jax import map_found_many
@@ -115,9 +118,10 @@ for wp in (False, True):
             jnp.float32(p.chn_pen_gap()))
     o = map_found_many(*args, want_pairs=wp, **kw)
     jax.block_until_ready(o); t0=time.time()
-    o = map_found_many(*args, want_pairs=wp, **kw)
+    for _ in range(REPS):
+        o = map_found_many(*args, want_pairs=wp, **kw)
     jax.block_until_ready(o); t1=time.time()
-    print(f"full(want_pairs={wp}): {t1-t0:.3f}s", file=sys.stderr)
+    print(f"full(want_pairs={wp}): {(t1-t0)/REPS:.3f}s", file=sys.stderr)
 
 # fused sketch+lookup program
 o = sketch_lookup_many(jnp.asarray(codes), jnp.asarray(lengths),
@@ -131,3 +135,12 @@ o = sketch_lookup_many(jnp.asarray(codes), jnp.asarray(lengths),
     q_occ_frac=p.q_occ_frac)
 jax.block_until_ready(o); t1=time.time()
 print(f"sketch_lookup: {t1-t0:.3f}s", file=sys.stderr)
+
+# sketch-only program at the same shapes
+from lrge_tpu.ops.overlap_jax import sketch_many
+o = sketch_many(jnp.asarray(codes), jnp.asarray(lengths), k=p.k, w=p.w)
+jax.block_until_ready(o); t0=time.time()
+for _ in range(REPS):
+    o = sketch_many(jnp.asarray(codes), jnp.asarray(lengths), k=p.k, w=p.w)
+jax.block_until_ready(o); t1=time.time()
+print(f"sketch_only: {(t1-t0)/REPS:.3f}s", file=sys.stderr)
