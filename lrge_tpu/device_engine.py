@@ -36,7 +36,6 @@ from .ops.overlap_jax import (
     sketch_lookup_many,
     sketch_many,
 )
-from .ops.sketch import needs_scalar_sketch
 
 logger = logging.getLogger("lrge")
 
@@ -661,41 +660,52 @@ class DeviceOverlapEngine:
             mcount = np.asarray(mcount_d)
             if collect_pairs is not None:
                 pair_rids = np.concatenate(pair_lists, axis=-1)
-            for g in range(nb):
-                for row in range(B):
-                    qid = ids[g, row]
-                    if qid < 0:
-                        continue  # batch padding row
-                    seq_row = codes[g, row, : lengths[g, row]]
-                    needs_host = False
-                    if n_anchors[g, row] > A:
-                        self.fallback_triggers["anchor_overflow"] += 1
-                        needs_host = True
-                    elif max_run[g, row] > self.window:
-                        self.fallback_triggers["window_miss"] += 1
-                        needs_host = True
-                    elif mcount[g, row] > M:
-                        self.fallback_triggers["minimizer_overflow"] += 1
-                        needs_host = True
-                    elif (not self.pb_mode) and needs_scalar_sketch(
-                        seq_row, p.k, p.w, False
-                    ):
-                        self.fallback_triggers["sketch_quirk"] += 1
-                        needs_host = True
-                    elif (
-                        collect_pairs is not None
-                        and int((pair_rids[g, row] >= 0).sum()) < bcounts[g, row]
-                    ):
-                        self.fallback_triggers["pair_truncation"] += 1
-                        needs_host = True  # per-sub pair list truncated
-                    if needs_host:
-                        retry.append(qid)
-                    else:
-                        counts[qid] = bcounts[g, row]
-                        had[qid] = bcounts[g, row] > 0
-                        if collect_pairs is not None:
-                            pr = pair_rids[g, row]
-                            collect_pairs[qid] = pr[pr >= 0].copy()
+            # vectorised exactness triage (a per-row Python loop here
+            # costs ~0.1 ms x thousands of rows, rivaling device time).
+            # Precedence of the trigger stats mirrors the old
+            # row-by-row elif chain.
+            live = ids[:nb] >= 0
+            t_over = (n_anchors[:nb] > A) & live
+            t_miss = (max_run[:nb] > self.window) & live & ~t_over
+            t_mini = (mcount[:nb] > M) & live & ~t_over & ~t_miss
+            prior = t_over | t_miss | t_mini
+            if not self.pb_mode:
+                # ambiguous bases force the scalar sketch oracle; the
+                # padding tail is code 4 too, so subtract it out
+                n_amb = (codes[:nb] >= 4).sum(axis=2, dtype=np.int64)
+                pad_tail = codes.shape[2] - lengths[:nb]
+                t_quirk = ((n_amb - pad_tail) > 0) & live & ~prior
+            else:
+                t_quirk = np.zeros_like(prior)
+            prior = prior | t_quirk
+            if collect_pairs is not None:
+                t_pair = (
+                    ((pair_rids[:nb] >= 0).sum(axis=2) < bcounts[:nb])
+                    & live
+                    & ~prior
+                )
+            else:
+                t_pair = np.zeros_like(prior)
+            needs = prior | t_pair
+            for key, trig in (
+                ("anchor_overflow", t_over),
+                ("window_miss", t_miss),
+                ("minimizer_overflow", t_mini),
+                ("sketch_quirk", t_quirk),
+                ("pair_truncation", t_pair),
+            ):
+                c_t = int(trig.sum())
+                if c_t:
+                    self.fallback_triggers[key] += c_t
+            retry.extend(ids[:nb][needs].tolist())
+            ok = live & ~needs
+            ok_ids = ids[:nb][ok]
+            counts[ok_ids] = bcounts[:nb][ok]
+            had[ok_ids] = bcounts[:nb][ok] > 0
+            if collect_pairs is not None:
+                ok_pairs = pair_rids[:nb][ok]
+                for qid, pr in zip(ok_ids, ok_pairs):
+                    collect_pairs[qid] = pr[pr >= 0].copy()
             _now = _time.perf_counter()
             phases[f"collect_L{_L}"] = phases.get(f"collect_L{_L}", 0.0) + (_now - _tb)
             _tb = _now

@@ -91,33 +91,35 @@ PyObject* parse_error(const char* msg) {
   return nullptr;
 }
 
-PyObject* py_parse_fastx(PyObject*, PyObject* arg) {
-  Py_buffer buf;
-  if (PyObject_GetBuffer(arg, &buf, PyBUF_SIMPLE) != 0) return nullptr;
-  const char* p = (const char*)buf.buf;
-  const char* end = p + buf.len;
+// Core FASTA/FASTQ parse over [start, end).  When ``is_final`` is false
+// the buffer is a stream chunk: a record that MAY continue past the end
+// (any line not newline-terminated, a missing trailer, or a FASTA
+// record not followed by '>') is left unconsumed instead of raising,
+// and ``*consumed`` reports how many bytes of complete records were
+// parsed.  Structural errors that no amount of further input can fix
+// (bad header start, quality/sequence length mismatch on a terminated
+// quality line) raise regardless.  Returns a new list or nullptr.
+PyObject* parse_fastx_impl(const char* start, const char* end, bool is_final,
+                           Py_ssize_t* consumed) {
+  const char* p = start;
   PyObject* out = PyList_New(0);
-  if (!out) {
-    PyBuffer_Release(&buf);
-    return nullptr;
-  }
+  if (!out) return nullptr;
   auto fail = [&](const char* msg) -> PyObject* {
     Py_DECREF(out);
-    PyBuffer_Release(&buf);
     return parse_error(msg);
   };
-  if (p == end) {
-    PyBuffer_Release(&buf);
-    return out;  // empty
-  }
+  *consumed = 0;
+  if (p == end) return out;  // empty
   char mode = *p;
   if (mode != '>' && mode != '@')
     return fail("Unknown sequence format: expected '>' or '@'");
   std::vector<char> seqbuf;
   while (p < end) {
+    const char* rec_start = p;
     if (*p != mode) return fail("Malformed record: bad header start");
     ++p;
     const char* nl = find_nl(p, end);
+    if (nl == end && !is_final) break;  // header may continue
     const char* hdr = p;
     Py_ssize_t hn = line_len(hdr, nl);
     Py_ssize_t idn = id_len(hdr, hn);
@@ -126,24 +128,50 @@ PyObject* py_parse_fastx(PyObject*, PyObject* arg) {
     PyObject* seq = nullptr;
     if (mode == '>') {
       seqbuf.clear();
-      while (p < end && *p != '>') {
+      bool terminated = false;
+      while (p < end) {
+        if (*p == '>') {
+          terminated = true;
+          break;
+        }
         nl = find_nl(p, end);
         seqbuf.insert(seqbuf.end(), p, p + line_len(p, nl));
         p = nl < end ? nl + 1 : end;
       }
+      if (!terminated && !is_final) {
+        Py_XDECREF(name);
+        break;  // more sequence lines may follow
+      }
       seq = PyBytes_FromStringAndSize(seqbuf.data(), (Py_ssize_t)seqbuf.size());
     } else {
       nl = find_nl(p, end);
+      if (nl == end && !is_final) {
+        Py_XDECREF(name);
+        break;
+      }
       const char* s = p;
       Py_ssize_t sn = line_len(s, nl);
       p = nl < end ? nl + 1 : end;
-      if (p >= end || *p != '+') {
+      if (p >= end) {
+        Py_XDECREF(name);
+        if (!is_final) break;
+        return fail("Malformed FASTQ record: expected '+' separator");
+      }
+      if (*p != '+') {
         Py_XDECREF(name);
         return fail("Malformed FASTQ record: expected '+' separator");
       }
       nl = find_nl(p, end);
+      if (nl == end && !is_final) {
+        Py_XDECREF(name);
+        break;
+      }
       p = nl < end ? nl + 1 : end;  // skip '+' line
       nl = find_nl(p, end);
+      if (nl == end && !is_final) {
+        Py_XDECREF(name);
+        break;  // quality line may continue
+      }
       Py_ssize_t qn = line_len(p, nl);
       if (qn != sn) {
         Py_XDECREF(name);
@@ -156,7 +184,6 @@ PyObject* py_parse_fastx(PyObject*, PyObject* arg) {
       Py_XDECREF(name);
       Py_XDECREF(seq);
       Py_DECREF(out);
-      PyBuffer_Release(&buf);
       return nullptr;
     }
     PyObject* tup = PyTuple_Pack(2, name, seq);
@@ -165,12 +192,36 @@ PyObject* py_parse_fastx(PyObject*, PyObject* arg) {
     if (!tup || PyList_Append(out, tup) != 0) {
       Py_XDECREF(tup);
       Py_DECREF(out);
-      PyBuffer_Release(&buf);
       return nullptr;
     }
     Py_DECREF(tup);
+    *consumed = rec_start + (p - rec_start) - start;
   }
+  return out;
+}
+
+PyObject* py_parse_fastx(PyObject*, PyObject* arg) {
+  Py_buffer buf;
+  if (PyObject_GetBuffer(arg, &buf, PyBUF_SIMPLE) != 0) return nullptr;
+  Py_ssize_t consumed = 0;
+  PyObject* out = parse_fastx_impl((const char*)buf.buf,
+                                   (const char*)buf.buf + buf.len,
+                                   /*is_final=*/true, &consumed);
   PyBuffer_Release(&buf);
+  return out;
+}
+
+PyObject* py_parse_fastx_chunk(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  int is_final = 0;
+  if (!PyArg_ParseTuple(args, "y*p", &buf, &is_final)) return nullptr;
+  Py_ssize_t consumed = 0;
+  PyObject* recs = parse_fastx_impl((const char*)buf.buf,
+                                    (const char*)buf.buf + buf.len,
+                                    is_final != 0, &consumed);
+  PyBuffer_Release(&buf);
+  if (!recs) return nullptr;
+  PyObject* out = Py_BuildValue("(Nn)", recs, consumed);
   return out;
 }
 
@@ -636,14 +687,29 @@ void count_one(const unsigned char* seq, int64_t qlen, int32_t dualrank,
     for (auto it = s.bt_order.rbegin(); it != s.bt_order.rend(); ++it) {
       int32_t end = *it;
       if (s.bt_used[end]) continue;
-      int64_t i = end;
+      // mg_chain_bk_end: stop the walk at the peeled-score argmax once
+      // a valley deeper than max_drop (= bw) is seen; probed anchors
+      // stay used, anchors beyond the break stay free (chain split)
+      int64_t fe = s.F[end];
+      int64_t i = end, max_i = end, max_s = 0;
+      while (true) {
+        s.bt_used[i] = 1;
+        i = s.P[i];
+        int64_t sc_i = i < 0 ? fe : fe - s.F[i];
+        if (sc_i > max_s) {
+          max_s = sc_i;
+          max_i = i;
+        } else if (max_s - sc_i > bw) {
+          break;
+        }
+        if (i < 0 || s.bt_used[i]) break;
+      }
       int64_t cnt = 0;
-      while (i >= 0 && !s.bt_used[i]) {
+      for (i = end; i != max_i; i = s.P[i]) {
         s.bt_used[i] = 1;
         ++cnt;
-        i = s.P[i];
       }
-      int64_t sc = i < 0 ? s.F[end] : s.F[end] - s.F[i];
+      int64_t sc = max_i < 0 ? fe : fe - s.F[max_i];
       if (sc >= min_score && cnt >= min_cnt) s.bt_rids.push_back(rids[end]);
     }
     std::sort(s.bt_rids.begin(), s.bt_rids.end());
@@ -775,6 +841,10 @@ PyMethodDef methods[] = {
      "encode_seq(bytes) -> bytes of 2-bit codes (4=ambiguous)"},
     {"parse_fastx", py_parse_fastx, METH_O,
      "parse_fastx(buffer) -> list[(id, seq)] for FASTA/FASTQ data"},
+    {"parse_fastx_chunk", py_parse_fastx_chunk, METH_VARARGS,
+     "parse_fastx_chunk(buffer, is_final) -> (list[(id, seq)], consumed) — "
+     "parse complete records from a stream chunk, reporting how many bytes "
+     "were consumed; partial trailing records are left for the next chunk"},
     {"sketch_many", py_sketch_many, METH_VARARGS,
      "sketch_many(seqs, k, w, hpc, threads) -> list[(key_u64le, pos_i32le, "
      "strand_u8)] — exact minimap2-semantics minimizer sketch over raw "

@@ -22,13 +22,17 @@ and (b) do not improve the running maximum; the count decrements
 examined" is simply ``x > j`` (descending order), and the floored
 running count equals ``S_t - min(0, min_{s<=t} S_s)`` of the raw
 +1/-1 step sums — so the break position is computable with suffix
-cumulative ops (see ``_skip_cut``).  Known remaining divergence: the
-backtrack peak-drop trimming (``max_drop = bw``) is not modelled; it
-needs a score valley deeper than ``bw`` (2000 for ava-ont) inside one
-chain, far above typical read-overlap chain scores.
+cumulative ops (see ``_skip_cut``).  The backtrack models
+``mg_chain_bk_end``'s peak-drop trimming (``max_drop = bw``): a score
+valley deeper than the band truncates the chain at the peeled-score
+argmax and frees the anchors beyond the break for a later peel (chain
+split); see ``_bk_end`` and ``tests/test_max_drop.py``.  Unique-target
+COUNTS are valley-invariant (each target's best chain is always peeled
+intact and trimming only raises kept scores), so the count fast paths
+and the device pipeline need no drop handling.
 
 This host engine is the correctness oracle for the device pipeline and
-the production path for the PacBio preset until its device port lands.
+the exactness-fallback path for every preset.
 """
 
 from __future__ import annotations
@@ -284,12 +288,46 @@ class Chain:
     strand: int
 
 
+def _bk_end(
+    end: int, fe: int, f: np.ndarray, p: np.ndarray, used: np.ndarray, max_drop: int
+) -> int:
+    """``mg_chain_bk_end``: where the backtrack walk from ``end`` stops.
+
+    Walks predecessors computing the peeled score ``s = fe - f[i]``
+    (``fe`` when the walk exits at -1); keeps the argmax ``max_i`` and
+    breaks once the score falls more than ``max_drop`` below the running
+    max (a valley deeper than the band).  Every probed anchor is marked
+    used (minimap2 sets ``t[i] = 2``): anchors between the returned end
+    and the break can never seed another chain, while anchors BEYOND the
+    break stay free — a deep valley therefore splits the chain and the
+    leading peak may be peeled later as its own chain.
+    """
+    i = int(end)
+    max_s = 0
+    max_i = i
+    while True:
+        used[i] = True
+        i = int(p[i])
+        s = fe if i < 0 else fe - int(f[i])
+        if s > max_s:
+            max_s, max_i = s, i
+        elif max_s - s > max_drop:
+            break
+        if i < 0 or used[i]:
+            break
+    return max_i
+
+
 def backtrack(
     f: np.ndarray, p: np.ndarray, anchors: Anchors, params: OverlapParams
 ) -> List[Chain]:
-    """``mm_chain_backtrack``: peel chains in descending score order."""
+    """``mm_chain_backtrack``: peel chains in descending score order,
+    trimming each walk at a score valley deeper than ``max_drop = bw``
+    (`mm_chain_dp` passes the chaining bandwidth; reference call site
+    `liblrge/src/minimap2/aligner.rs:230-241` via mm_map)."""
     min_sc = params.min_chain_score
     min_cnt = params.min_cnt
+    max_drop = params.bw
     cand = np.flatnonzero(f >= min_sc)
     if len(cand) == 0:
         return []
@@ -301,13 +339,15 @@ def backtrack(
     for end in order:
         if used[end]:
             continue
+        fe = int(f[end])
+        end_i = _bk_end(int(end), fe, f, p, used, max_drop)
         path = []
         i = int(end)
-        while i >= 0 and not used[i]:
+        while i != end_i:
             path.append(i)
             used[i] = True
             i = int(p[i])
-        sc = int(f[end]) if i < 0 else int(f[end] - f[i])
+        sc = fe if end_i < 0 else fe - int(f[end_i])
         if sc >= min_sc and len(path) >= min_cnt:
             idx = np.array(path[::-1], dtype=np.int64)
             chains.append(
@@ -318,6 +358,7 @@ def backtrack(
                     strand=int(anchors.strand[idx[0]]),
                 )
             )
-        # NOTE: anchors of discarded chains stay marked, matching the C
-        # loop (t[i] is never reverted) — they cannot seed later chains.
+        # NOTE: anchors of discarded/probed chains stay marked, matching
+        # the C loop (t[i] is never reverted) — they cannot seed later
+        # chains.
     return chains

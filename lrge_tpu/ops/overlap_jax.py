@@ -367,19 +367,27 @@ def _expand_sort_chain(
     # log-depth fill-forward.
     prev_cum = cum - occ
     live = (occ > 0) & (prev_cum < A)
-    tgt = jnp.where(live, prev_cum, 0)
+    tgt = jax.lax.optimization_barrier(jnp.where(live, prev_cum, 0))
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]
     adj = start - cum + occ
     MIN32 = np.iinfo(np.int32).min
-    sc_set = jnp.zeros((B, A), dtype=bool).at[rows, tgt].max(live)
+    # barriers around the scatter operands/results keep XLA from fusing
+    # the index arithmetic into the scatter kernel (same scalarisation
+    # hazard as _gather1)
+    _bar = jax.lax.optimization_barrier
+    sc_set = _bar(jnp.zeros((B, A), dtype=bool).at[rows, tgt].max(live))
     # collision-free: only lane `tgt` of a live minimizer is touched
     # (non-live lanes scatter MIN32 into slot 0, which max() discards
     # against the MIN32 initial value and sc_set marks unset anyway)
-    sc_adj = jnp.full((B, A), MIN32, jnp.int32).at[rows, tgt].max(
-        jnp.where(live, adj, MIN32)
+    sc_adj = _bar(
+        jnp.full((B, A), MIN32, jnp.int32).at[rows, tgt].max(
+            _bar(jnp.where(live, adj, MIN32))
+        )
     )
-    sc_mps = jnp.full((B, A), MIN32, jnp.int32).at[rows, tgt].max(
-        jnp.where(live, mps, MIN32)
+    sc_mps = _bar(
+        jnp.full((B, A), MIN32, jnp.int32).at[rows, tgt].max(
+            _bar(jnp.where(live, mps, MIN32))
+        )
     )
 
     def ffill(a, b):
