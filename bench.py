@@ -101,11 +101,38 @@ def main():
     engine.warmup([len(q) for q in queries])
     print(f"[bench] warmup/compile: {time.perf_counter()-t_w:.1f}s", file=sys.stderr)
 
+    # device-only throughput first (host-share disabled): the chip must
+    # carry >= 5x baseline on its own (round-3 target >= 3000 q/s)
+    os.environ["LRGE_HOST_SHARE"] = "0"
+    t1 = time.perf_counter()
+    res_dev = engine.count_batch(qnames, queries)
+    t_dev = time.perf_counter() - t1
+    dev_qps = n_queries / t_dev
+    print(
+        f"[bench] device-only map: {t_dev:.2f}s ({dev_qps:.0f} q/s), "
+        f"fallback={res_dev.fallback_rows}",
+        file=sys.stderr,
+    )
+    del os.environ["LRGE_HOST_SHARE"]
+
     t1 = time.perf_counter()
     res = engine.count_batch(qnames, queries)
     t_map = time.perf_counter() - t1
     qps = n_queries / t_map
     t_total = time.perf_counter() - t0
+
+    # silent-regression tripwire: the heterogeneous run, the device-only
+    # run, and the exact host engine must agree on counts (sampled)
+    if not np.array_equal(res.counts, res_dev.counts):
+        raise SystemExit("[bench] FATAL: host-share run counts != device-only counts")
+    sample = np.random.default_rng(0).choice(n_queries, size=200, replace=False)
+    host_counts = [
+        c for c, _ in engine.host.count_overlaps_many(
+            [(qnames[i], queries[i]) for i in sample]
+        )
+    ]
+    if not np.array_equal(res.counts[sample], host_counts):
+        raise SystemExit("[bench] FATAL: device counts != host counts on sample")
 
     # end-to-end estimate sanity
     sum_t = sum(len(s) for s in targets)
@@ -137,6 +164,9 @@ def main():
                     "index_build_s": round(t_index, 2),
                     "total_wall_s": round(t_total, 2),
                     "map_s": round(t_map, 2),
+                    # chip-only throughput (LRGE_HOST_SHARE=0): the
+                    # heterogeneous host-share split stacks on top
+                    "device_only_qps": round(dev_qps, 1),
                     "host_fallback_rows": int(res.fallback_rows),
                     # heterogeneous split: rows deliberately counted by the
                     # native host kernel CONCURRENTLY with device execution

@@ -214,11 +214,19 @@ def main(argv=None) -> int:
             msg += f" (IQR: {format_estimate(result.lower)} - {format_estimate(result.upper)})"
         logger.info(msg)
 
-        if args.precise:
-            # shortest f32 representation, like Rust's f32 Display
-            import numpy as np
+        import numpy as np
 
-            out_text = np.format_float_positional(np.float32(est), unique=True, trim="-") + "\n"
+        if np.isnan(est):
+            # Rust's float formatting spells these "NaN"/"inf"
+            out_text = "NaN\n"
+        elif args.precise:
+            # shortest f32 representation, like Rust's f32 Display
+            out_text = (
+                "inf\n"
+                if np.isinf(est)
+                else np.format_float_positional(np.float32(est), unique=True, trim="-")
+                + "\n"
+            )
         else:
             out_text = f"{est:.0f}\n"
         if not emit_output:

@@ -55,3 +55,52 @@ def test_toy_bam_ava_oracle(tmp_path):
     rc = main([str(TOY_BAM), "-n", "60", "--seed", "3", "-o", str(out), "-qqq"])
     assert rc == 0
     assert out.read_text().strip() == "134408"
+
+
+# ---------------------------------------------------------------------------
+# Oracle matrix (VERDICT r2 item 7): every CLI mode the reference's
+# alignment.rs family touches, pinned on toy.bam at multiple seeds with
+# the host engine, and device==host asserted wherever the device engine
+# applies.  Values were produced by this implementation's host engine
+# (no Rust toolchain exists here to cross-run; PARITY.md §Environment)
+# and serve as drift tripwires between rounds.
+# ---------------------------------------------------------------------------
+
+MATRIX = [
+    # (args, pinned stdout)
+    (["-T", "50", "-Q", "25", "-s", "6", "-P", "pb"], "100068"),
+    (["-T", "50", "-Q", "25", "-s", "2", "-P", "pb"], "141136"),
+    (["-T", "50", "-Q", "25", "-s", "1", "-F"], "213219"),
+    (["-T", "50", "-Q", "25", "-s", "4", "-F"], "218360"),
+    (["-T", "50", "-Q", "25", "-s", "1", "--use-min-ref"], "72381"),
+    (["-T", "50", "-Q", "25", "-s", "7", "--use-min-ref"], "60835"),
+    # -8 at this subsample hits the reference's NaN corner (median
+    # interpolates between two infinite estimates with frac == 0:
+    # inf*1 + inf*0 = NaN in f32, printed "NaN" by Rust's formatter)
+    (["-T", "50", "-Q", "25", "-s", "1", "-8"], "NaN"),
+    (["-n", "80", "-s", "5"], "306359"),
+    (["-n", "60", "-s", "3", "-P", "pb"], "51119"),
+    (["-T", "50", "-Q", "25", "-s", "1", "-f"], "72380.83"),
+]
+
+
+@pytest.mark.parametrize("args,expect", MATRIX, ids=lambda v: " ".join(v) if isinstance(v, list) else v)
+def test_toy_bam_mode_matrix_host(tmp_path, args, expect):
+    out = tmp_path / "o.txt"
+    rc = main([str(TOY_BAM)] + args + ["-o", str(out), "-qqq"])
+    assert rc == 0
+    assert out.read_text().strip() == expect
+
+
+@pytest.mark.parametrize(
+    "args,expect",
+    [c for c in MATRIX if "-F" not in c[0] and "--use-min-ref" not in c[0]],
+    ids=lambda v: " ".join(v) if isinstance(v, list) else v,
+)
+def test_toy_bam_mode_matrix_device_equals_host(tmp_path, args, expect):
+    # -F / --use-min-ref force the host engine (documented); every other
+    # mode must produce byte-identical stdout through the device pipeline
+    out = tmp_path / "o.txt"
+    rc = main([str(TOY_BAM)] + args + ["--engine", "device", "-o", str(out), "-qqq"])
+    assert rc == 0
+    assert out.read_text().strip() == expect
