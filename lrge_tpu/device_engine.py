@@ -385,14 +385,32 @@ class DeviceOverlapEngine:
             share = self._host_share_fraction(len(dev_lens), pairs_wanted=False)
             k = int(len(dev_lens) * share)
             lengths = dev_lens[k:]
+        jobs = []
         lo = 0
+        for L in self.length_buckets:
+            if lengths is None or sum(lo < x <= L for x in lengths) > min_rows:
+                jobs.append((lo, L))
+            lo = L
         self._warming = True  # bypass the sparse-bucket host routing
         try:
-            for L in self.length_buckets:
-                if lengths is None or sum(lo < x <= L for x in lengths) > min_rows:
-                    fake = [b"ACGT" * (max(lo + 4, L // 2) // 4)] * 2
+            if len(jobs) > 1:
+                # compile buckets CONCURRENTLY: each bucket is a separate
+                # program pair and the (remote) compile service
+                # parallelises across requests, so wall time is the
+                # slowest program instead of the sum
+                from concurrent.futures import ThreadPoolExecutor
+
+                def _one(job):
+                    lo_, L_ = job
+                    fake = [b"ACGT" * (max(lo_ + 4, L_ // 2) // 4)] * 2
                     self.count_batch([b"__warm0", b"__warm1"], fake)
-                lo = L
+
+                with ThreadPoolExecutor(len(jobs)) as ex:
+                    list(ex.map(_one, jobs))
+            else:
+                for lo_, L_ in jobs:
+                    fake = [b"ACGT" * (max(lo_ + 4, L_ // 2) // 4)] * 2
+                    self.count_batch([b"__warm0", b"__warm1"], fake)
         finally:
             self._warming = False
 
@@ -561,6 +579,56 @@ class DeviceOverlapEngine:
                 # fused sketch + shared dictionary lookup (one program),
                 # then one gather-lean map dispatch per sub-index
                 gd = self.gdev
+                if (
+                    not self.pb_mode
+                    and gd.n_sub == 1
+                    and not self.use_pallas
+                    and not self.sup_vmap
+                ):
+                    # single-sub ONT fast path: the WHOLE pipeline in one
+                    # program (each extra dispatch costs ~25-30 ms of
+                    # host-side relay overhead), one packed output fetch
+                    from .ops.overlap_jax import sketch_map_many
+
+                    packed, pr = sketch_map_many(
+                        jnp.asarray(codes),
+                        jnp.asarray(lengths),
+                        jnp.asarray(dual),
+                        jnp.asarray(selfr),
+                        gd.uhash,
+                        gd.uoff,
+                        gd.boff,
+                        gd.loocc[0] if gd.packed_dict_bits else gd.lo[0],
+                        gd.hi[0],
+                        gd.rps if gd.packed_rid_bits else gd.rid,
+                        gd.pos,
+                        gd.rank,
+                        jnp.int32(gd.mid_occ),
+                        jnp.float32(p.chn_pen_gap()),
+                        k=p.k,
+                        w=p.w,
+                        bucket_bits=gd.bucket_bits,
+                        bucket_kmax=gd.bucket_kmax,
+                        q_occ_frac=p.q_occ_frac,
+                        max_gap=p.max_gap,
+                        bw=p.bw,
+                        min_score=p.min_chain_score,
+                        num_anchors=A,
+                        window=self.window,
+                        no_dual=p.no_dual,
+                        no_diag=p.no_diag,
+                        max_chain_skip=p.max_chain_skip,
+                        packed_pos=True,
+                        min_cnt=p.min_cnt,
+                        want_pairs=collect_pairs is not None,
+                        packed_rid_bits=gd.packed_rid_bits,
+                        packed_dict_bits=gd.packed_dict_bits,
+                        sort_rows=_os.environ.get("LRGE_FUSED_SORT", "1") == "1",
+                    )
+                    inflight.append(
+                        (nb, B, A, codes, lengths, ids, None, (packed, pr))
+                    )
+                    continue
                 if self.pb_mode:
                     from .ops.overlap_jax import pb_lookup_many
 
@@ -647,17 +715,29 @@ class DeviceOverlapEngine:
             _L = codes.shape[2]
             SUP, _ = lengths.shape
             M = minimizer_cap(codes.shape[2])
-            bcounts = np.zeros((SUP, B), dtype=np.int64)
-            n_anchors = np.zeros((SUP, B), dtype=np.int64)
-            max_run = np.zeros((SUP, B), dtype=np.int64)
-            pair_lists = []
-            for c_s, a_s, r_s, p_s in subs:
-                bcounts += np.asarray(c_s)
-                n_anchors = np.maximum(n_anchors, np.asarray(a_s))
-                max_run = np.maximum(max_run, np.asarray(r_s))
-                if collect_pairs is not None:
-                    pair_lists.append(np.asarray(p_s))
-            mcount = np.asarray(mcount_d)
+            if mcount_d is None:
+                # fused single-program path: one packed [SUP, B, 4] fetch
+                packed_d, pr_d = subs
+                arr = np.asarray(packed_d).astype(np.int64)
+                bcounts = arr[..., 0]
+                n_anchors = arr[..., 1]
+                max_run = arr[..., 2]
+                mcount = arr[..., 3]
+                pair_lists = (
+                    [np.asarray(pr_d)] if collect_pairs is not None else []
+                )
+            else:
+                bcounts = np.zeros((SUP, B), dtype=np.int64)
+                n_anchors = np.zeros((SUP, B), dtype=np.int64)
+                max_run = np.zeros((SUP, B), dtype=np.int64)
+                pair_lists = []
+                for c_s, a_s, r_s, p_s in subs:
+                    bcounts += np.asarray(c_s)
+                    n_anchors = np.maximum(n_anchors, np.asarray(a_s))
+                    max_run = np.maximum(max_run, np.asarray(r_s))
+                    if collect_pairs is not None:
+                        pair_lists.append(np.asarray(p_s))
+                mcount = np.asarray(mcount_d)
             if collect_pairs is not None:
                 pair_rids = np.concatenate(pair_lists, axis=-1)
             # vectorised exactness triage (a per-row Python loop here

@@ -19,14 +19,17 @@ derivation in `ops/chain.py`); equality is pinned by
 including skip-break corpora) and was verified bit-identical against
 the XLA scan on a real v5e chip.
 
-Status: alternative backend, enabled with ``LRGE_PALLAS=1``.  Measured
-on v5e (A=4096, W=64, B=128, 2026-08): the XLA scan's compiled loop
-runs the DP in ~0.01s per 1024-query super-batch — XLA already keeps
-the scan carry resident — while this kernel's chunk-rotate walk takes
-~2s (the per-anchor ``pltpu.roll`` chain serialises on the VPU), so
-the scan remains the production default.  The kernel is kept as the
-starting point for a future blocked formulation and as an independent
-implementation that cross-checks the scan's semantics on hardware.
+Status: **test/oracle only — not a production backend.**  Measured on
+v5e (A=4096, W=64, B=128, 2026-08): the XLA scan's compiled loop runs
+the DP in ~0.01s per 1024-query super-batch — XLA already keeps the
+scan carry resident — while this kernel's chunk-rotate walk takes ~2s
+(the per-anchor ``pltpu.roll`` chain serialises on the VPU).  Round 3
+re-confirmed the decision: after the fused-gather fixes the scan's DP
+is the only remaining serial cost and this formulation does not beat
+it.  The kernel stays maintained solely as an independent
+implementation that cross-checks the scan's semantics on hardware
+(``LRGE_PALLAS=1``, ``tests/test_chain_pallas.py``); treat any
+production routing to it as a bug.
 
 Outputs per anchor slot: the chain score ``f`` and a ``broke`` flag
 (the skip break fired inside the visible window), which the caller's

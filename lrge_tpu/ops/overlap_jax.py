@@ -516,13 +516,15 @@ def _expand_sort_chain(
     span = jnp.int32(k)
     pen_gap = chn_pen_gap.astype(jnp.float32)
 
-    def pair_sc(ck, cr, cq, pk, pr, pq, pf, pok):
+    def pair_sc(ck, cr, cq, pk, pr, pq, pf):
         """(cand, ok) of transitioning from predecessors p* to current c*.
 
         Shapes broadcast: current [B, 1] or [B], predecessors [B, W'].
         With spans, cq/pq carry ``qpos<<8 | span`` and the score uses
         the PREDECESSOR's span (minimap2 ``comput_sc``: min(dg, q_span
-        of j))."""
+        of j)).  Validity rides in the key: invalid anchors carry
+        ``IMAX`` keys (the sort's padding), so ``pk != IMAX & pk == ck``
+        implies both ends valid with no separate ok buffer."""
         if with_spans:
             cqp, pqp = cq >> 8, pq >> 8
             psp = pq & 255
@@ -539,7 +541,7 @@ def _expand_sort_chain(
         pen = (lin + jnp.float32(0.5) * logp).astype(jnp.int32)
         sc = jnp.where((dd != 0) | (dg > psp), sc - pen, sc)
         ok = (
-            pok
+            (pk != IMAX)
             & (pk == ck)
             & (dq > 0)
             & (dq <= max_gap)
@@ -552,12 +554,16 @@ def _expand_sort_chain(
     dpos = jnp.arange(W, dtype=jnp.int32)
 
     def step(carry, xs):
-        ring_key, ring_rpos, ring_qpos, ring_f, ring_ok, ring_p, ring_cnt = carry
+        if with_spans:
+            ring_key, ring_rpos, ring_qpos, ring_f, ring_p, ring_cnt = carry
+        else:
+            ring_key, ring_rpos, ring_qpos, ring_f, ring_p = carry
+            ring_cnt = None
         ck, cr, cq, cv, islot = xs  # each [B]
         cspan = (cq & 255) if with_spans else span
         cand, ok = pair_sc(
             ck[:, None], cr[:, None], cq[:, None],
-            ring_key, ring_rpos, ring_qpos, ring_f, ring_ok,
+            ring_key, ring_rpos, ring_qpos, ring_f,
         )
         # marked[d]: some valid x at position d' holds p[x] == slot(d).
         # p_rel = islot-1-p maps link targets to descending positions;
@@ -636,10 +642,12 @@ def _expand_sort_chain(
             jnp.concatenate([cr[:, None], ring_rpos[:, : W - 1]], axis=1),
             jnp.concatenate([cq[:, None], ring_qpos[:, : W - 1]], axis=1),
             jnp.concatenate([f_t[:, None], ring_f[:, : W - 1]], axis=1),
-            jnp.concatenate([cv[:, None], ring_ok[:, : W - 1]], axis=1),
             jnp.concatenate([p_t[:, None], ring_p[:, : W - 1]], axis=1),
-            jnp.concatenate([c_t[:, None], ring_cnt[:, : W - 1]], axis=1),
         )
+        if with_spans:
+            new_carry = new_carry + (
+                jnp.concatenate([c_t[:, None], ring_cnt[:, : W - 1]], axis=1),
+            )
         return new_carry, (f_t, b_t, c_t)
 
     init = (
@@ -647,10 +655,10 @@ def _expand_sort_chain(
         jnp.zeros((B, W), dtype=jnp.int32),
         jnp.zeros((B, W), dtype=jnp.int32),
         jnp.full((B, W), NEG, dtype=jnp.int32),
-        jnp.zeros((B, W), dtype=bool),
         jnp.full((B, W), -1, dtype=jnp.int32),
-        jnp.zeros((B, W), dtype=jnp.int32),
     )
+    if with_spans:
+        init = init + (jnp.zeros((B, W), dtype=jnp.int32),)
 
     # dynamic trip count: invalid anchors sort to the end, so the DP
     # only needs to walk slots [0, max-valid-anchors-in-batch); the
@@ -679,7 +687,8 @@ def _expand_sort_chain(
         carry, (f_t, b_t, c_t) = step(carry, (xk, xr, xq, xv, islot))
         f_b = jax.lax.dynamic_update_slice_in_dim(f_b, f_t[None], i, 0)
         b_b = jax.lax.dynamic_update_slice_in_dim(b_b, b_t[None], i, 0)
-        c_b = jax.lax.dynamic_update_slice_in_dim(c_b, c_t[None], i, 0)
+        if with_spans:  # chain anchor counts only feed the min_cnt gate
+            c_b = jax.lax.dynamic_update_slice_in_dim(c_b, c_t[None], i, 0)
         return (i + 1, carry, f_b, b_b, c_b)
 
     _, _, f_steps, b_steps, c_steps = jax.lax.while_loop(
@@ -873,7 +882,11 @@ class DeviceIndex:
             np.add.at(boff, ub + 1, 1)
             np.cumsum(boff, out=boff)
             max_bucket = int(np.max(np.diff(boff))) if len(uh) else 0
-            kmax = max(4, max_bucket)
+            # rounded up to a multiple of 4: the extra probes are
+            # masked (~free with barriered gathers) and a stable
+            # kmax keeps the compiled-program cache key corpus-
+            # independent (static arg)
+            kmax = max(4, (max_bucket + 3) // 4 * 4)
             if kmax > 16:  # pathological collisions: disable dictionary
                 bucket_bits = 0
                 boff = np.zeros(1, dtype=np.int32)
@@ -1332,6 +1345,144 @@ map_found_many = functools.partial(
 )(map_found_many_core)
 
 
+def sketch_map_many_core(
+    codes,  # [NB, B, L] uint8
+    lengths,  # [NB, B]
+    qdualrank,
+    qselfrid,
+    uhash,
+    uoff,
+    boff,
+    lo_plane,
+    hi_plane,
+    idx_rid,
+    idx_pos,
+    idx_rank,
+    mid_occ,
+    chn_pen_gap,
+    *,
+    k,
+    w,
+    bucket_bits,
+    bucket_kmax,
+    q_occ_frac,
+    max_gap,
+    bw,
+    min_score,
+    num_anchors,
+    window,
+    no_dual,
+    no_diag,
+    max_chain_skip,
+    packed_pos,
+    min_cnt=3,
+    want_pairs=False,
+    packed_rid_bits=0,
+    packed_dict_bits=0,
+    sort_rows=True,
+):
+    """Whole ONT pipeline — sketch + lookup + map — in ONE program.
+
+    The common production case is a single sub-index; splitting sketch
+    from map then costs an extra dispatch per super-batch, and each
+    dispatch carries ~25-30 ms of host-side overhead on the remote
+    relay (tools/xfer probe, 2026-08-19).
+
+    Between the lookup and the chain DP the rows of the WHOLE super
+    batch are re-sorted by anchor count: the DP's dynamic trip bound is
+    the per-[B]-slot max, and grouping heavy rows together cuts total
+    DP iterations ~40% on the bench corpus (length-sorted batching
+    alone leaves repeat-heavy rows scattered: 126k vs 75k bound sum at
+    NB*B=1024 windows).  Outputs are scattered back to input order and
+    packed into one [NB, B, 4] plane (counts, n_anchors, max_run,
+    mcount) so the host fetches ONE array (plus pairs when collecting).
+    """
+    NB, B, L = codes.shape
+
+    def sk_body(args):
+        c, ln = args
+        return sketch_lookup_core(
+            c, ln, uhash, uoff, boff, mid_occ,
+            k=k, w=w, bucket_bits=bucket_bits, bucket_kmax=bucket_kmax,
+            q_occ_frac=q_occ_frac,
+        )
+
+    found, mps, mcount = jax.lax.map(sk_body, (codes, lengths))
+    M = found.shape[-1]
+    ff = found.reshape(NB * B, M)
+    mf = mps.reshape(NB * B, M)
+    # per-row anchor totals (dictionary ranges), then re-sort the super
+    # batch so each [B] DP slot holds rows of similar anchor count
+    fc = jnp.maximum(ff, 0)
+    if packed_dict_bits:
+        occ = jnp.where(
+            ff >= 0,
+            _gather1(lo_plane, fc) & ((1 << packed_dict_bits) - 1),
+            0,
+        )
+    else:
+        occ = jnp.where(
+            ff >= 0, _gather1(hi_plane, fc) - _gather1(lo_plane, fc), 0
+        )
+    totals = occ.sum(axis=1)
+    if sort_rows:
+        order = jnp.argsort(totals)
+        inv = jnp.argsort(order)
+        take = lambda x: jax.lax.optimization_barrier(
+            x[jax.lax.optimization_barrier(order)]
+        )
+        ffs = take(ff).reshape(NB, B, M)
+        mfs = take(mf).reshape(NB, B, M)
+        qlen_s = lengths.reshape(-1)[order].reshape(NB, B)
+        qd_s = qdualrank.reshape(-1)[order].reshape(NB, B)
+        qs_s = qselfrid.reshape(-1)[order].reshape(NB, B)
+    else:
+        ffs, mfs = found, mps
+        qlen_s, qd_s, qs_s = lengths, qdualrank, qselfrid
+
+    def map_body(args):
+        fo, mp, ql, qd, qs = args
+        counts, n_anchors, max_run, pairs = map_found_core(
+            fo, mp, ql, qd, qs, lo_plane, hi_plane,
+            idx_rid, idx_pos, idx_pos, idx_rank, chn_pen_gap,
+            k=k, max_gap=max_gap, bw=bw, min_score=min_score,
+            num_anchors=num_anchors, window=window, no_dual=no_dual,
+            no_diag=no_diag, max_chain_skip=max_chain_skip,
+            packed_pos=packed_pos, use_pallas=False, pallas_block=8,
+            pallas_interpret=False, with_spans=False, min_cnt=min_cnt,
+            want_pairs=want_pairs, packed_rid_bits=packed_rid_bits,
+            packed_dict_bits=packed_dict_bits,
+        )
+        return jnp.stack([counts, n_anchors, max_run], axis=-1), pairs
+
+    packed_s, pairs_s = jax.lax.map(
+        map_body, (ffs, mfs, qlen_s, qd_s, qs_s)
+    )
+    if sort_rows:
+        unsort = lambda x: jax.lax.optimization_barrier(
+            x[jax.lax.optimization_barrier(inv)]
+        )
+        packed = unsort(packed_s.reshape(NB * B, 3)).reshape(NB, B, 3)
+        PM = pairs_s.shape[-1]
+        pairs = unsort(pairs_s.reshape(NB * B, PM)).reshape(NB, B, PM)
+    else:
+        packed, pairs = packed_s, pairs_s
+    packed = jnp.concatenate([packed, mcount[..., None]], axis=-1)
+    return packed, pairs
+
+
+sketch_map_many = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "w", "bucket_bits", "bucket_kmax", "q_occ_frac",
+        "max_gap", "bw", "min_score", "num_anchors", "window",
+        "no_dual", "no_diag", "max_chain_skip", "packed_pos",
+        "min_cnt", "want_pairs", "packed_rid_bits", "packed_dict_bits",
+        "sort_rows",
+    ),
+)(sketch_map_many_core)
+
+
 @dataclass
 class GroupedDeviceIndex:
     """Device index with postings grouped by (key, sub) for shared lookup.
@@ -1419,7 +1570,8 @@ class GroupedDeviceIndex:
             boff = np.zeros(nb + 1, dtype=np.int32)
             np.add.at(boff, ub + 1, 1)
             np.cumsum(boff, out=boff)
-            kmax = max(4, int(np.max(np.diff(boff))))
+            # multiple of 4 for cache-key stability (probes masked)
+            kmax = max(4, (int(np.max(np.diff(boff))) + 3) // 4 * 4)
             if kmax > 16:
                 bucket_bits = 0
                 boff = np.zeros(1, dtype=np.int32)

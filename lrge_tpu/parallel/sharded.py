@@ -182,6 +182,8 @@ class ShardedGroupedIndex:
             kmax = max(kmax, int(np.max(np.diff(bo))))
         if kmax > 24:
             return None  # pathological bucket collisions; caller falls back
+        # multiple of 4 for compile-cache-key stability (probes masked)
+        kmax = (kmax + 3) // 4 * 4
         return cls(
             post0=post0,
             post1=post1,
