@@ -289,6 +289,46 @@ class DeviceOverlapEngine:
             return self.host.count_overlaps_many(items, want_pairs=True)
         return [(c, h, None) for c, h in self._host_count_many(items)]
 
+    def _host_count_filtered(self, items, ratio):
+        """Exact host -F counting: unique targets whose mapping passes
+        the is_internal overhang filter (`twoset.rs:286-301` with the
+        `-F` branch).  map_read-based — the native count kernel has no
+        coordinates — so threads parallelise the GIL-releasing chain DP.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        import os as _os
+
+        def one(it):
+            nm, sq = it
+            recs = self.host.map_read(nm, sq)
+            uniq = {
+                r.target_name for r in recs if not r.is_internal(ratio)
+            }
+            return len(uniq), int(bool(recs))
+
+        if len(items) <= 1:
+            return [one(it) for it in items]
+        with ThreadPoolExecutor(
+            max_workers=min(_os.cpu_count() or 2, 8)
+        ) as ex:
+            return list(ex.map(one, items))
+
+    def supports_device_filter(self) -> bool:
+        """Whether the -F overhang filter can run on device: the fused
+        single-sub ONT program with 16-bit-packable coordinates."""
+        return (
+            self.device_ok
+            and not self.pb_mode
+            and self.sharded is None
+            and getattr(self, "gdev", None) is not None
+            and self.gdev.n_sub == 1
+            and not self.use_pallas
+            and not self.sup_vmap
+            and int(np.max(self.index.lengths)) < (1 << 16)
+            and self.length_buckets[-1] + self.params.k < (1 << 16)
+        )
+
     def _sharded_group(self, q0, q1, mps, lengths, dual, selfr, nb):
         """Dispatch one super-batch group through the sharded mesh fn,
         returning arrays shaped like a map_many sub-result
@@ -357,7 +397,7 @@ class DeviceOverlapEngine:
             return 0.0
         return share
 
-    def warmup(self, lengths=None) -> None:
+    def warmup(self, lengths=None, filter_ratio=None) -> None:
         """Compile the fused programs ahead of the mapping pass.
 
         With ``lengths`` (the query read lengths about to be mapped)
@@ -403,21 +443,32 @@ class DeviceOverlapEngine:
                 def _one(job):
                     lo_, L_ = job
                     fake = [b"ACGT" * (max(lo_ + 4, L_ // 2) // 4)] * 2
-                    self.count_batch([b"__warm0", b"__warm1"], fake)
+                    self.count_batch(
+                        [b"__warm0", b"__warm1"], fake, filter_ratio=filter_ratio
+                    )
 
                 with ThreadPoolExecutor(len(jobs)) as ex:
                     list(ex.map(_one, jobs))
             else:
                 for lo_, L_ in jobs:
                     fake = [b"ACGT" * (max(lo_ + 4, L_ // 2) // 4)] * 2
-                    self.count_batch([b"__warm0", b"__warm1"], fake)
+                    self.count_batch(
+                        [b"__warm0", b"__warm1"], fake, filter_ratio=filter_ratio
+                    )
         finally:
             self._warming = False
 
-    def count_batch(self, names: list, seqs: list, collect_pairs=None) -> BatchCounts:
+    def count_batch(
+        self, names: list, seqs: list, collect_pairs=None, filter_ratio=None
+    ) -> BatchCounts:
         """Count overlaps per query; optionally collect passing target
         ids per query into ``collect_pairs`` (a dict qid -> rid array),
-        used for the ava strategy's symmetric pair counting."""
+        used for the ava strategy's symmetric pair counting.
+
+        ``filter_ratio`` applies the reference's ``-F`` is_internal
+        overhang filter on device (callers must check
+        :meth:`supports_device_filter` first); host recomputes (exact
+        map_read + filter) cover the flagged rows."""
         import time as _time
 
         n = len(seqs)
@@ -426,7 +477,16 @@ class DeviceOverlapEngine:
         fallback = 0
         phases = {"prep": 0.0, "enqueue": 0.0, "collect": 0.0, "retry": 0.0}
         _t0 = _time.perf_counter()
+        if filter_ratio is not None:
+            assert collect_pairs is None, "-F does not collect pairs"
+            assert self.supports_device_filter() or not self.device_ok
         if not self.device_ok:
+            if filter_ratio is not None:
+                for i, (c, h) in enumerate(
+                    self._host_count_filtered(list(zip(names, seqs)), filter_ratio)
+                ):
+                    counts[i], had[i] = c, h
+                return BatchCounts(counts, had, n)
             if collect_pairs is not None:
                 for i, (c, h, rids) in enumerate(
                     self._host_count_pairs(list(zip(names, seqs)))
@@ -468,7 +528,9 @@ class DeviceOverlapEngine:
         # length-sorted device batches.  Disabled while warming or when
         # the native runtime (GIL-releasing chain DP) is unavailable.
         host_share_rows = []
-        if not getattr(self, "_warming", False):
+        if not getattr(self, "_warming", False) and filter_ratio is None:
+            # (-F host counting is map_read-based and slow; keep the
+            # chip as the primary engine there)
             share = self._host_share_fraction(
                 len(dev_rows), pairs_wanted=collect_pairs is not None
             )
@@ -492,9 +554,12 @@ class DeviceOverlapEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         host_rows_all = long_rows + host_share_rows
-        host_fn = (
-            self._host_count_pairs if collect_pairs is not None else self._host_count_many
-        )
+        if filter_ratio is not None:
+            host_fn = lambda items: self._host_count_filtered(items, filter_ratio)
+        elif collect_pairs is not None:
+            host_fn = self._host_count_pairs
+        else:
+            host_fn = self._host_count_many
         long_pool = ThreadPoolExecutor(1) if host_rows_all else None
         long_future = (
             long_pool.submit(host_fn, [(names[i], seqs[i]) for i in host_rows_all])
@@ -624,6 +689,9 @@ class DeviceOverlapEngine:
                         packed_rid_bits=gd.packed_rid_bits,
                         packed_dict_bits=gd.packed_dict_bits,
                         sort_rows=_os.environ.get("LRGE_FUSED_SORT", "1") == "1",
+                        want_extents=filter_ratio is not None,
+                        overhang_ratio=float(filter_ratio or 0.2),
+                        idx_tlen=gd.tlen,
                     )
                     inflight.append(
                         (nb, B, A, codes, lengths, ids, None, (packed, pr))
@@ -780,8 +848,14 @@ class DeviceOverlapEngine:
             retry.extend(ids[:nb][needs].tolist())
             ok = live & ~needs
             ok_ids = ids[:nb][ok]
-            counts[ok_ids] = bcounts[:nb][ok]
-            had[ok_ids] = bcounts[:nb][ok] > 0
+            if filter_ratio is not None:
+                # -F packs the pre-filter "had any mapping" bit at 24
+                raw = bcounts[:nb][ok]
+                counts[ok_ids] = raw & 0xFFFFFF
+                had[ok_ids] = (raw >> 24) > 0
+            else:
+                counts[ok_ids] = bcounts[:nb][ok]
+                had[ok_ids] = bcounts[:nb][ok] > 0
             if collect_pairs is not None:
                 ok_pairs = pair_rids[:nb][ok]
                 for qid, pr in zip(ok_ids, ok_pairs):

@@ -334,8 +334,20 @@ def _expand_sort_chain(
     min_cnt=3,
     want_pairs=True,
     packed_rid_bits=0,
+    want_extents=False,
+    overhang_ratio=0.2,
+    idx_tlen=None,
 ):
     """Anchor expansion + (rid,strand,rpos) sort + chain DP + reduce.
+
+    ``want_extents`` (constant-span presets only) additionally tracks
+    each chain's START coordinates, anchor count, and a deep-valley
+    flag through the DP, so the reduce can apply the reference's
+    ``is_internal`` overhang filter (`mapping.rs:59-77`, the ``-F``
+    flag) per passing target on device.  Rows whose decision could
+    differ from the exact host backtrack (internal best chain with a
+    possible passing secondary, or a valley the backtrack would trim)
+    are flagged for host recompute via the ``max_run`` channel.
 
     Shared tail of the device pipeline: callers provide the per-query
     posting ranges however they were looked up (inline dictionary in
@@ -553,12 +565,15 @@ def _expand_sort_chain(
 
     dpos = jnp.arange(W, dtype=jnp.int32)
 
+    track_cnt = with_spans or want_extents
+
     def step(carry, xs):
-        if with_spans:
-            ring_key, ring_rpos, ring_qpos, ring_f, ring_p, ring_cnt = carry
-        else:
-            ring_key, ring_rpos, ring_qpos, ring_f, ring_p = carry
-            ring_cnt = None
+        carry = list(carry)
+        ring_key, ring_rpos, ring_qpos, ring_f, ring_p = carry[:5]
+        rest = carry[5:]
+        ring_cnt = rest.pop(0) if track_cnt else None
+        ring_sq = rest.pop(0) if want_extents else None
+        ring_rmf = rest.pop(0) if want_extents else None
         ck, cr, cq, cv, islot = xs  # each [B]
         cspan = (cq & 255) if with_spans else span
         cand, ok = pair_sc(
@@ -625,15 +640,39 @@ def _expand_sort_chain(
         p_t = jnp.where(cv & has_pred, islot - 1 - bestd, -1)
         f_t = jnp.where(cv, jnp.maximum(cspan if with_spans else span, best), NEG)
         # chain anchor count: 1 + count at the chosen predecessor (the
-        # HPC preset needs the min_cnt gate; constant-span presets imply
-        # it via min_chain_score and skip the bookkeeping)
-        if with_spans:
-            cnt_prev = jnp.sum(
-                jnp.where(dpos[None, :] == bestd[:, None], ring_cnt, 0), axis=1
-            )
+        # HPC preset needs the min_cnt gate; the -F extent path needs it
+        # for the secondary-chain bound; other presets imply it via
+        # min_chain_score and skip the bookkeeping)
+        onehot = dpos[None, :] == bestd[:, None]
+        if track_cnt:
+            cnt_prev = jnp.sum(jnp.where(onehot, ring_cnt, 0), axis=1)
             c_t = jnp.where(cv, jnp.where(has_pred, cnt_prev + 1, 1), 0)
         else:
             c_t = cv.astype(jnp.int32)  # unused
+        if want_extents:
+            # chain start coords (packed rpos<<16 | qpos of the FIRST
+            # anchor) and the running-max/valley flag: a chain whose f
+            # dips more than bw below its running max is one the exact
+            # backtrack would trim (mg_chain_bk_end), so the row must be
+            # flagged for host recompute
+            sq_prev = jnp.sum(jnp.where(onehot, ring_sq, 0), axis=1)
+            start_self = (cr << 16) | cq
+            s_t = jnp.where(
+                cv, jnp.where(has_pred, sq_prev, start_self), 0
+            )
+            rmf_prev = jnp.sum(jnp.where(onehot, ring_rmf, 0), axis=1)
+            prevmax = rmf_prev >> 1
+            vflag = (rmf_prev & 1) | (
+                has_pred & ((prevmax - f_t) > bw)
+            ).astype(jnp.int32)
+            newmax = jnp.maximum(prevmax, f_t)
+            rm_t = jnp.where(
+                cv,
+                jnp.where(has_pred, (newmax << 1) | vflag, f_t << 1),
+                0,
+            )
+        else:
+            s_t = rm_t = None
         # the scan broke inside the visible window: the result is
         # exact even if the (rid,strand) run extends beyond it
         b_t = overed[:, -1] & cv
@@ -644,11 +683,16 @@ def _expand_sort_chain(
             jnp.concatenate([f_t[:, None], ring_f[:, : W - 1]], axis=1),
             jnp.concatenate([p_t[:, None], ring_p[:, : W - 1]], axis=1),
         )
-        if with_spans:
+        if track_cnt:
             new_carry = new_carry + (
                 jnp.concatenate([c_t[:, None], ring_cnt[:, : W - 1]], axis=1),
             )
-        return new_carry, (f_t, b_t, c_t)
+        if want_extents:
+            new_carry = new_carry + (
+                jnp.concatenate([s_t[:, None], ring_sq[:, : W - 1]], axis=1),
+                jnp.concatenate([rm_t[:, None], ring_rmf[:, : W - 1]], axis=1),
+            )
+        return new_carry, (f_t, b_t, c_t, s_t, rm_t)
 
     init = (
         jnp.full((B, W), IMAX, dtype=jnp.int32),
@@ -657,8 +701,13 @@ def _expand_sort_chain(
         jnp.full((B, W), NEG, dtype=jnp.int32),
         jnp.full((B, W), -1, dtype=jnp.int32),
     )
-    if with_spans:
+    if track_cnt:
         init = init + (jnp.zeros((B, W), dtype=jnp.int32),)
+    if want_extents:
+        init = init + (
+            jnp.zeros((B, W), dtype=jnp.int32),
+            jnp.zeros((B, W), dtype=jnp.int32),
+        )
 
     # dynamic trip count: invalid anchors sort to the end, so the DP
     # only needs to walk slots [0, max-valid-anchors-in-batch); the
@@ -673,39 +722,51 @@ def _expand_sort_chain(
     f_buf = jnp.full((A, B), NEG, jnp.int32)
     b_buf = jnp.zeros((A, B), bool)
     c_buf = jnp.zeros((A, B), jnp.int32)
+    s_buf = jnp.zeros((A, B), jnp.int32)
+    r_buf = jnp.zeros((A, B), jnp.int32)
 
     def cond_fn(state):
         return state[0] < bound
 
     def body_fn(state):
-        i, carry, f_b, b_b, c_b = state
+        i, carry, f_b, b_b, c_b, s_b, r_b = state
         xk = jax.lax.dynamic_slice_in_dim(xs_k, i, 1, 0)[0]
         xr = jax.lax.dynamic_slice_in_dim(xs_r, i, 1, 0)[0]
         xq = jax.lax.dynamic_slice_in_dim(xs_q, i, 1, 0)[0]
         xv = jax.lax.dynamic_slice_in_dim(xs_v, i, 1, 0)[0]
         islot = jnp.broadcast_to(i, (B,)).astype(jnp.int32)
-        carry, (f_t, b_t, c_t) = step(carry, (xk, xr, xq, xv, islot))
+        carry, (f_t, b_t, c_t, s_t, rm_t) = step(carry, (xk, xr, xq, xv, islot))
         f_b = jax.lax.dynamic_update_slice_in_dim(f_b, f_t[None], i, 0)
         b_b = jax.lax.dynamic_update_slice_in_dim(b_b, b_t[None], i, 0)
-        if with_spans:  # chain anchor counts only feed the min_cnt gate
+        if track_cnt:  # chain anchor counts (min_cnt gate / -F bound)
             c_b = jax.lax.dynamic_update_slice_in_dim(c_b, c_t[None], i, 0)
-        return (i + 1, carry, f_b, b_b, c_b)
+        if want_extents:
+            s_b = jax.lax.dynamic_update_slice_in_dim(s_b, s_t[None], i, 0)
+            r_b = jax.lax.dynamic_update_slice_in_dim(r_b, rm_t[None], i, 0)
+        return (i + 1, carry, f_b, b_b, c_b, s_b, r_b)
 
-    _, _, f_steps, b_steps, c_steps = jax.lax.while_loop(
-        cond_fn, body_fn, (jnp.int32(0), init, f_buf, b_buf, c_buf)
+    _, _, f_steps, b_steps, c_steps, s_steps, r_steps = jax.lax.while_loop(
+        cond_fn, body_fn, (jnp.int32(0), init, f_buf, b_buf, c_buf, s_buf, r_buf)
     )
     f = f_steps.T  # [B, A]
     broke = b_steps.T  # [B, A]
+    extents = None
+    if want_extents:
+        extents = dict(
+            starts=s_steps.T, rmf=r_steps.T, rpos=rpos_s, qpos=qpos_s,
+            qlen=qlen, idx_tlen=idx_tlen, ratio=overhang_ratio, span=k,
+            cnt=c_steps.T,
+        )
     return _reduce_counts(
         f, broke, rid_s, key2_s, valid_s, n_anchors, B, A, W, min_score,
         cnt=c_steps.T if with_spans else None, min_cnt=min_cnt,
-        want_pairs=want_pairs,
+        want_pairs=want_pairs, extents=extents,
     )
 
 
 def _reduce_counts(
     f, broke, rid_s, key2_s, valid_s, n_anchors, B, A, W, min_score,
-    cnt=None, min_cnt=3, want_pairs=True,
+    cnt=None, min_cnt=3, want_pairs=True, extents=None,
 ):
     # ---- 4. segmented max over rid runs ----
     boundary = jnp.concatenate(
@@ -744,7 +805,70 @@ def _reduce_counts(
         score_ok = run_end & valid_s & (best_f >= min_score)
         passing = score_ok & (cnt_best >= min_cnt)
         suspicious = jnp.any(score_ok & (cnt_best < min_cnt), axis=1)
+    if extents is not None:
+        # ---- -F / is_internal filtering (mapping.rs:59-77) ----
+        # decide per rid run from its BEST chain (peeled intact by the
+        # backtrack): non-internal best -> target counts; internal best
+        # -> count 0, but flag the row when a same-target secondary
+        # chain could pass (enough unclaimed anchors in the run) or the
+        # best chain holds a valley the backtrack would trim — only the
+        # exact host path can decide those.
+        assert cnt is None, "-F extents are constant-span only"
+        assert A <= (1 << 14)
+        slots_i = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32), (B, A))
+        packed = jnp.where(valid_s & (f >= 0), ((f + 1) << 14) | slots_i, 0)
+        seg_p, _ = jax.lax.associative_scan(seg_op, (packed, boundary), axis=1)
+        best_f = (seg_p >> 14) - 1
+        best_slot = jax.lax.optimization_barrier(seg_p & ((1 << 14) - 1))
+        score_ok = run_end & valid_s & (best_f >= min_score)
+        _ta = lambda x: jax.lax.optimization_barrier(
+            jnp.take_along_axis(x, best_slot, axis=1)
+        )
+        span = jnp.int32(extents["span"])
+        s_best = _ta(extents["starts"])
+        rmf_best = _ta(extents["rmf"])
+        cnt_best = _ta(extents["cnt"])
+        end_r = _ta(extents["rpos"])
+        end_q = _ta(extents["qpos"])
+        strand_b = _ta(key2_s) & 1
+        rs = (s_best >> 16) + 1 - span
+        re_ = end_r + 1
+        qs_c = (s_best & 0xFFFF) + 1 - span
+        qe_c = end_q + 1
+        qlen_col = extents["qlen"][:, None]
+        rev = strand_b == 1
+        qs = jnp.where(rev, qlen_col - qe_c, qs_c)
+        qe = jnp.where(rev, qlen_col - qs_c, qe_c)
+        T = extents["idx_tlen"].shape[0]
+        tlen = _gather1(extents["idx_tlen"], jnp.clip(rid_s, 0, T - 1))
+        ov_p = jnp.minimum(qs, rs) + jnp.minimum(qlen_col - qe, tlen - re_)
+        ov_m = jnp.minimum(qs, tlen - re_) + jnp.minimum(qlen_col - qe, rs)
+        ov = jnp.where(rev, ov_m, ov_p)
+        maplen = jnp.maximum(jnp.maximum(qe - qs, re_ - rs), 1)
+        internal = (
+            ov.astype(jnp.float32) / maplen.astype(jnp.float32)
+        ) < jnp.float32(extents["ratio"])
+        passing = score_ok & ~internal
+        # rid-run anchor totals for the secondary-chain bound
+        idxs0 = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32), (B, A))
+        rstart, _ = jax.lax.associative_scan(
+            seg_op, (jnp.where(boundary, idxs0, -1), boundary), axis=1
+        )
+        run_len = idxs0 - rstart + 1
+        sec_possible = (run_len - cnt_best) * span >= min_score
+        valley = (rmf_best & 1) == 1
+        suspicious = jnp.any(
+            score_ok & (valley | (internal & sec_possible)), axis=1
+        )
     counts = jnp.sum(passing, axis=1).astype(jnp.int32)
+    if extents is not None:
+        # the reference's no_mapping_count counts queries with no
+        # mappings AT ALL (pre-filter, `twoset.rs:303-309`); ride that
+        # bit above the filtered count (count <= A < 2^24)
+        had_any = jnp.any(
+            run_end & valid_s & (((seg_p >> 14) - 1) >= min_score), axis=1
+        )
+        counts = counts | (had_any.astype(jnp.int32) << 24)
 
     # passing-target id list per query (for symmetric/pair counting):
     # compact passing run-end rids to the front via a stable sort
@@ -1214,6 +1338,9 @@ def map_found_core(
     want_pairs=True,
     packed_rid_bits=0,
     packed_dict_bits=0,
+    want_extents=False,
+    overhang_ratio=0.2,
+    idx_tlen=None,
 ):
     fc = jnp.maximum(found, 0)
     if packed_dict_bits:
@@ -1256,6 +1383,9 @@ def map_found_core(
         min_cnt=min_cnt,
         want_pairs=want_pairs,
         packed_rid_bits=packed_rid_bits,
+        want_extents=want_extents,
+        overhang_ratio=overhang_ratio,
+        idx_tlen=idx_tlen,
     )
 
 
@@ -1380,6 +1510,9 @@ def sketch_map_many_core(
     packed_rid_bits=0,
     packed_dict_bits=0,
     sort_rows=True,
+    want_extents=False,
+    overhang_ratio=0.2,
+    idx_tlen=None,
 ):
     """Whole ONT pipeline — sketch + lookup + map — in ONE program.
 
@@ -1451,7 +1584,8 @@ def sketch_map_many_core(
             packed_pos=packed_pos, use_pallas=False, pallas_block=8,
             pallas_interpret=False, with_spans=False, min_cnt=min_cnt,
             want_pairs=want_pairs, packed_rid_bits=packed_rid_bits,
-            packed_dict_bits=packed_dict_bits,
+            packed_dict_bits=packed_dict_bits, want_extents=want_extents,
+            overhang_ratio=overhang_ratio, idx_tlen=idx_tlen,
         )
         return jnp.stack([counts, n_anchors, max_run], axis=-1), pairs
 
@@ -1478,7 +1612,7 @@ sketch_map_many = functools.partial(
         "max_gap", "bw", "min_score", "num_anchors", "window",
         "no_dual", "no_diag", "max_chain_skip", "packed_pos",
         "min_cnt", "want_pairs", "packed_rid_bits", "packed_dict_bits",
-        "sort_rows",
+        "sort_rows", "want_extents", "overhang_ratio",
     ),
 )(sketch_map_many_core)
 
@@ -1518,6 +1652,7 @@ class GroupedDeviceIndex:
     rps: jnp.ndarray = None  # [N] int32
     packed_dict_bits: int = 0  # = occ_bits when active
     loocc: list = None  # n_sub device arrays [U] int32
+    tlen: jnp.ndarray = None  # [T] int32 target lengths (the -F extent path)
 
     @classmethod
     def from_host(cls, index, n_sub: int, bucket_bits: int = 22) -> "GroupedDeviceIndex":
@@ -1628,6 +1763,7 @@ class GroupedDeviceIndex:
             rps=rps,
             packed_dict_bits=packed_dict_bits,
             loocc=loocc,
+            tlen=jnp.asarray(np.asarray(index.lengths, dtype=np.int32)),
         )
 
 

@@ -174,9 +174,20 @@ class TwoSetStrategy(Estimate):
         if self.engine == "device" and not self.remove_internal:
             return self._align_reads_device(engine, queries, avg_target_len)
         if self.engine == "device" and self.remove_internal:
+            # -F on device: the fused pipeline tracks chain extents and
+            # applies is_internal in the reduce (undecidable rows fall
+            # back to the exact host filter); unsupported configurations
+            # (HPC preset, multi-chip, wide coordinates) use the host
+            from ..device_engine import DeviceOverlapEngine
+
+            dev = DeviceOverlapEngine(engine.index)
+            if dev.supports_device_filter():
+                return self._align_reads_device_filtered(
+                    dev, queries, avg_target_len
+                )
             logger.info(
-                "-F/--filter-contained needs mapping coordinates; "
-                "using the host engine instead of the device pipeline"
+                "-F/--filter-contained: this configuration needs mapping "
+                "coordinates on the host; using the host engine"
             )
         from ..engine import ParallelHostMapper
 
@@ -249,9 +260,45 @@ class TwoSetStrategy(Estimate):
         self._log_no_mapping(no_mapping_count, len(queries))
         return estimates.astype(np.float32), no_mapping_count
 
+    def _align_reads_device_filtered(self, dev, queries, avg_target_len):
+        """Device counting with the -F is_internal filter applied in the
+        fused reduce (overlaps.paf not written, like the device path)."""
+        from ..estimate import per_read_estimate_batch
+
+        logger.info(
+            "Using device overlap engine with -F filtering "
+            "(overlaps.paf not written)"
+        )
+        names = [n for n, _ in queries]
+        seqs = [s for _, s in queries]
+        dev.warmup([len(s) for s in seqs], filter_ratio=self.max_overhang_ratio)
+        res = dev.count_batch(names, seqs, filter_ratio=self.max_overhang_ratio)
+        no_mapping_count = int((~res.had_mapping).sum())
+        estimates = per_read_estimate_batch(
+            np.array([len(s) for s in seqs]),
+            avg_target_len,
+            self.target_num_reads,
+            res.counts,
+            dev.params.min_chain_score,
+        )
+        if logger.isEnabledFor(TRACE):
+            for (qname, _), est in zip(queries, estimates):
+                logger.log(
+                    TRACE, "Estimate for %s: %s", qname.decode("utf-8", "replace"), est
+                )
+        self._log_no_mapping(no_mapping_count, len(queries))
+        return estimates.astype(np.float32), no_mapping_count
+
     def _align_reads_inverse(self, targets, queries, avg_target_len):
         """--use-min-ref direction: index queries, stream targets
-        (`twoset.rs:370-584`)."""
+        (`twoset.rs:370-584`).
+
+        With ``engine="device"`` (and no ``-F``) the device pipeline
+        maps the target reads against the query index and collects the
+        passing query ids per target row (the same pair machinery the
+        ava strategy uses); per-query counts are the per-row-deduped
+        accumulation, exactly the reference's per-mapping
+        ``unique``-set logic."""
         engine = self._build_engine(queries)
         overlap_threshold = engine.params.min_chain_score
         read_lengths = {}
@@ -261,6 +308,15 @@ class TwoSetStrategy(Estimate):
                 raise DuplicateReadIdentifierError(qname.decode("utf-8", "replace"))
             read_lengths[qname] = len(seq)
             ovlap_counter[qname] = 0
+        if self.engine == "device" and not self.remove_internal:
+            return self._align_reads_inverse_device(
+                engine, targets, queries, avg_target_len, read_lengths, ovlap_counter
+            )
+        if self.engine == "device" and self.remove_internal:
+            logger.info(
+                "-F/--filter-contained needs mapping coordinates; "
+                "using the host engine instead of the device pipeline"
+            )
         from ..engine import ParallelHostMapper
 
         mapper = ParallelHostMapper(engine.index, self.threads)
@@ -308,6 +364,51 @@ class TwoSetStrategy(Estimate):
                     overlap_threshold,
                 )
             logger.log(TRACE, "Estimate for %s: %s", rid_name.decode("utf-8", "replace"), est)
+            estimates[i] = est
+        self._log_no_mapping(no_mapping_count, len(queries))
+        return estimates, no_mapping_count
+
+    def _align_reads_inverse_device(
+        self, engine, targets, queries, avg_target_len, read_lengths, ovlap_counter
+    ):
+        """Device --use-min-ref: map targets against the query index,
+        accumulate per-query counts from the per-row passing-id lists
+        (row-level dedup == the reference's per-target unique set,
+        `twoset.rs:481-523`; overlaps.paf is not written, like the
+        forward device path)."""
+        from ..device_engine import DeviceOverlapEngine
+
+        logger.info(
+            "Using device overlap engine for --use-min-ref "
+            "(overlaps.paf not written)"
+        )
+        dev = DeviceOverlapEngine(engine.index)
+        tnames = [n for n, _ in targets]
+        tseqs = [s for _, s in targets]
+        dev.warmup([len(s) for s in tseqs])
+        collect: dict = {}
+        dev.count_batch(tnames, tseqs, collect_pairs=collect)
+        counts = np.zeros(len(queries), dtype=np.int64)
+        for rids in collect.values():
+            counts[rids] += 1
+        no_mapping_count = 0
+        estimates = np.empty(len(queries), dtype=np.float32)
+        for i, (qname, _) in enumerate(queries):
+            n_ovlaps = int(counts[i])
+            if n_ovlaps == 0:
+                no_mapping_count += 1
+                est = float("inf")
+            else:
+                est = per_read_estimate(
+                    read_lengths[qname],
+                    avg_target_len,
+                    self.target_num_reads,
+                    n_ovlaps,
+                    engine.params.min_chain_score,
+                )
+            logger.log(
+                TRACE, "Estimate for %s: %s", qname.decode("utf-8", "replace"), est
+            )
             estimates[i] = est
         self._log_no_mapping(no_mapping_count, len(queries))
         return estimates, no_mapping_count

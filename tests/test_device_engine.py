@@ -291,3 +291,43 @@ class TestDeviceVsHost:
         assert dev1.fallback_triggers.get("host_share", 0) > 0
         assert np.array_equal(res0.counts, res1.counts)
         assert np.array_equal(res0.had_mapping, res1.had_mapping)
+
+
+def test_device_filter_contained_matches_host(tmp_path, monkeypatch):
+    """-F on device (fused extent tracking + is_internal reduce) must
+    reproduce the host engine's filtered estimates exactly, including
+    corpora rich in contained/internal overlaps."""
+    from lrge_tpu.strategy.twoset import TwoSetStrategy
+
+    monkeypatch.setenv("LRGE_SHARDS", "1")  # single-device fused path
+    rng = np.random.default_rng(31)
+    genome = bytes(rng.choice(list(b"ACGT"), size=60_000).tolist())
+    rc = bytes.maketrans(b"ACGT", b"TGCA")
+    g = np.frombuffer(genome, np.uint8)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    fq = tmp_path / "reads.fq"
+    with open(fq, "wb") as fh:
+        for i in range(120):
+            # mix of long reads and short contained fragments: shorts
+            # map INSIDE longs -> internal overlaps the filter drops
+            L = int(rng.integers(350, 700)) if i % 3 else int(rng.integers(1800, 2600))
+            pos = int(rng.integers(0, len(genome) - L))
+            arr = g[pos : pos + L].copy()
+            ne = rng.binomial(L, 0.06)
+            arr[rng.integers(0, L, size=ne)] = bases[rng.integers(0, 4, size=ne)]
+            s = arr.tobytes()
+            if rng.integers(0, 2):
+                s = s.translate(rc)[::-1]
+            fh.write(b"@r%d\n%s\n+\n%s\n" % (i, s, b"I" * L))
+    kw = dict(
+        target_num_reads=80, query_num_reads=30, seed=7,
+        remove_internal=True, max_overhang_ratio=0.2,
+    )
+    est_dev, nm_dev = TwoSetStrategy(
+        fq, tmpdir=tmp_path / "d", engine="device", **kw
+    ).generate_estimates()
+    est_host, nm_host = TwoSetStrategy(
+        fq, tmpdir=tmp_path / "h", engine="host", **kw
+    ).generate_estimates()
+    assert nm_dev == nm_host
+    np.testing.assert_array_equal(np.asarray(est_dev), np.asarray(est_host))

@@ -94,12 +94,28 @@ def test_toy_bam_mode_matrix_host(tmp_path, args, expect):
 
 @pytest.mark.parametrize(
     "args,expect",
-    [c for c in MATRIX if "-F" not in c[0] and "--use-min-ref" not in c[0]],
+    [c for c in MATRIX if "-F" not in c[0]],
     ids=lambda v: " ".join(v) if isinstance(v, list) else v,
 )
 def test_toy_bam_mode_matrix_device_equals_host(tmp_path, args, expect):
-    # -F / --use-min-ref force the host engine (documented); every other
-    # mode must produce byte-identical stdout through the device pipeline
+    # every mode — including --use-min-ref's inverse direction — must
+    # produce byte-identical stdout through the device pipeline (-F has
+    # its own single-device parametrisation below)
+    out = tmp_path / "o.txt"
+    rc = main([str(TOY_BAM)] + args + ["--engine", "device", "-o", str(out), "-qqq"])
+    assert rc == 0
+    assert out.read_text().strip() == expect
+
+
+@pytest.mark.parametrize(
+    "args,expect",
+    [c for c in MATRIX if "-F" in c[0]],
+    ids=lambda v: " ".join(v) if isinstance(v, list) else v,
+)
+def test_toy_bam_filter_device_equals_host(tmp_path, args, expect, monkeypatch):
+    # -F on device: fused extent tracking + is_internal reduce
+    # (single-device fused path; the sharded mesh falls back to host)
+    monkeypatch.setenv("LRGE_SHARDS", "1")
     out = tmp_path / "o.txt"
     rc = main([str(TOY_BAM)] + args + ["--engine", "device", "-o", str(out), "-qqq"])
     assert rc == 0
