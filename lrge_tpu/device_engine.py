@@ -692,6 +692,7 @@ class DeviceOverlapEngine:
                         want_extents=filter_ratio is not None,
                         overhang_ratio=float(filter_ratio or 0.2),
                         idx_tlen=gd.tlen,
+                        dp_chunk=int(_os.environ.get("LRGE_DP_CHUNK", "1")),
                     )
                     inflight.append(
                         (nb, B, A, codes, lengths, ids, None, (packed, pr))

@@ -337,6 +337,7 @@ def _expand_sort_chain(
     want_extents=False,
     overhang_ratio=0.2,
     idx_tlen=None,
+    dp_chunk=1,
 ):
     """Anchor expansion + (rid,strand,rpos) sort + chain DP + reduce.
 
@@ -716,50 +717,66 @@ def _expand_sort_chain(
     # steps.  Batches are length-sorted upstream, so the bound is tight
     # for short-read groups (mean anchors ~1/3 of capacity on the bench
     # corpus).
-    xs_k, xs_r, xs_q = key2_s.T, rpos_s.T, qpos_s.T  # [A, B]
-    xs_v = valid_s.T
+    C = max(1, int(dp_chunk))
+    AP = A + C - 1  # chunk overrun pad: extra slots are invalid no-ops
+    pad_rows = lambda x, fill: (
+        jnp.concatenate(
+            [x, jnp.full((C - 1, B), fill, x.dtype)], axis=0
+        ) if C > 1 else x
+    )
+    xs_k = pad_rows(key2_s.T, IMAX)  # [AP, B]
+    xs_r = pad_rows(rpos_s.T, 0)
+    xs_q = pad_rows(qpos_s.T, 0)
+    xs_v = pad_rows(valid_s.T, False)
     bound = jnp.minimum(jnp.max(jnp.sum(valid_s, axis=1)), A).astype(jnp.int32)
-    f_buf = jnp.full((A, B), NEG, jnp.int32)
-    b_buf = jnp.zeros((A, B), bool)
-    c_buf = jnp.zeros((A, B), jnp.int32)
-    s_buf = jnp.zeros((A, B), jnp.int32)
-    r_buf = jnp.zeros((A, B), jnp.int32)
+    f_buf = jnp.full((AP, B), NEG, jnp.int32)
+    b_buf = jnp.zeros((AP, B), bool)
+    c_buf = jnp.zeros((AP, B), jnp.int32)
+    s_buf = jnp.zeros((AP, B), jnp.int32)
+    r_buf = jnp.zeros((AP, B), jnp.int32)
 
     def cond_fn(state):
         return state[0] < bound
 
     def body_fn(state):
         i, carry, f_b, b_b, c_b, s_b, r_b = state
-        xk = jax.lax.dynamic_slice_in_dim(xs_k, i, 1, 0)[0]
-        xr = jax.lax.dynamic_slice_in_dim(xs_r, i, 1, 0)[0]
-        xq = jax.lax.dynamic_slice_in_dim(xs_q, i, 1, 0)[0]
-        xv = jax.lax.dynamic_slice_in_dim(xs_v, i, 1, 0)[0]
-        islot = jnp.broadcast_to(i, (B,)).astype(jnp.int32)
-        carry, (f_t, b_t, c_t, s_t, rm_t) = step(carry, (xk, xr, xq, xv, islot))
-        f_b = jax.lax.dynamic_update_slice_in_dim(f_b, f_t[None], i, 0)
-        b_b = jax.lax.dynamic_update_slice_in_dim(b_b, b_t[None], i, 0)
-        if track_cnt:  # chain anchor counts (min_cnt gate / -F bound)
-            c_b = jax.lax.dynamic_update_slice_in_dim(c_b, c_t[None], i, 0)
-        if want_extents:
-            s_b = jax.lax.dynamic_update_slice_in_dim(s_b, s_t[None], i, 0)
-            r_b = jax.lax.dynamic_update_slice_in_dim(r_b, rm_t[None], i, 0)
-        return (i + 1, carry, f_b, b_b, c_b, s_b, r_b)
+        # process C consecutive anchors per trip: the step body is
+        # latency-bound at [B, W] shapes, so amortising the while_loop
+        # iteration across C anchors trades HLO size for wall time
+        for j in range(C):
+            ii = i + j
+            xk = jax.lax.dynamic_slice_in_dim(xs_k, ii, 1, 0)[0]
+            xr = jax.lax.dynamic_slice_in_dim(xs_r, ii, 1, 0)[0]
+            xq = jax.lax.dynamic_slice_in_dim(xs_q, ii, 1, 0)[0]
+            xv = jax.lax.dynamic_slice_in_dim(xs_v, ii, 1, 0)[0]
+            islot = jnp.broadcast_to(ii, (B,)).astype(jnp.int32)
+            carry, (f_t, b_t, c_t, s_t, rm_t) = step(
+                carry, (xk, xr, xq, xv, islot)
+            )
+            f_b = jax.lax.dynamic_update_slice_in_dim(f_b, f_t[None], ii, 0)
+            b_b = jax.lax.dynamic_update_slice_in_dim(b_b, b_t[None], ii, 0)
+            if track_cnt:  # chain anchor counts (min_cnt gate / -F bound)
+                c_b = jax.lax.dynamic_update_slice_in_dim(c_b, c_t[None], ii, 0)
+            if want_extents:
+                s_b = jax.lax.dynamic_update_slice_in_dim(s_b, s_t[None], ii, 0)
+                r_b = jax.lax.dynamic_update_slice_in_dim(r_b, rm_t[None], ii, 0)
+        return (i + C, carry, f_b, b_b, c_b, s_b, r_b)
 
     _, _, f_steps, b_steps, c_steps, s_steps, r_steps = jax.lax.while_loop(
         cond_fn, body_fn, (jnp.int32(0), init, f_buf, b_buf, c_buf, s_buf, r_buf)
     )
-    f = f_steps.T  # [B, A]
-    broke = b_steps.T  # [B, A]
+    f = f_steps[:A].T  # [B, A]
+    broke = b_steps[:A].T  # [B, A]
     extents = None
     if want_extents:
         extents = dict(
-            starts=s_steps.T, rmf=r_steps.T, rpos=rpos_s, qpos=qpos_s,
+            starts=s_steps[:A].T, rmf=r_steps[:A].T, rpos=rpos_s, qpos=qpos_s,
             qlen=qlen, idx_tlen=idx_tlen, ratio=overhang_ratio, span=k,
-            cnt=c_steps.T,
+            cnt=c_steps[:A].T,
         )
     return _reduce_counts(
         f, broke, rid_s, key2_s, valid_s, n_anchors, B, A, W, min_score,
-        cnt=c_steps.T if with_spans else None, min_cnt=min_cnt,
+        cnt=c_steps[:A].T if with_spans else None, min_cnt=min_cnt,
         want_pairs=want_pairs, extents=extents,
     )
 
@@ -1341,6 +1358,7 @@ def map_found_core(
     want_extents=False,
     overhang_ratio=0.2,
     idx_tlen=None,
+    dp_chunk=1,
 ):
     fc = jnp.maximum(found, 0)
     if packed_dict_bits:
@@ -1386,6 +1404,7 @@ def map_found_core(
         want_extents=want_extents,
         overhang_ratio=overhang_ratio,
         idx_tlen=idx_tlen,
+        dp_chunk=dp_chunk,
     )
 
 
@@ -1513,6 +1532,7 @@ def sketch_map_many_core(
     want_extents=False,
     overhang_ratio=0.2,
     idx_tlen=None,
+    dp_chunk=1,
 ):
     """Whole ONT pipeline — sketch + lookup + map — in ONE program.
 
@@ -1586,6 +1606,7 @@ def sketch_map_many_core(
             want_pairs=want_pairs, packed_rid_bits=packed_rid_bits,
             packed_dict_bits=packed_dict_bits, want_extents=want_extents,
             overhang_ratio=overhang_ratio, idx_tlen=idx_tlen,
+            dp_chunk=dp_chunk,
         )
         return jnp.stack([counts, n_anchors, max_run], axis=-1), pairs
 
@@ -1612,7 +1633,7 @@ sketch_map_many = functools.partial(
         "max_gap", "bw", "min_score", "num_anchors", "window",
         "no_dual", "no_diag", "max_chain_skip", "packed_pos",
         "min_cnt", "want_pairs", "packed_rid_bits", "packed_dict_bits",
-        "sort_rows", "want_extents", "overhang_ratio",
+        "sort_rows", "want_extents", "overhang_ratio", "dp_chunk",
     ),
 )(sketch_map_many_core)
 
