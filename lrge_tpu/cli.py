@@ -102,7 +102,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Index the smaller of the Q/T sets (two-set strategy)")
     ap.add_argument("--engine", choices=["host", "device"], default="host",
                     help="Overlap engine: host (exact, writes overlaps.paf) or "
-                         "device (TPU pipeline; no PAF side-output)")
+                         "device (TPU pipeline; overlaps.paf written when "
+                         "-C/-D keep the temp dir)")
     ap.add_argument("-q", "--quiet", action="count", default=0,
                     help="-q errors+warnings, -qq errors, -qqq nothing")
     ap.add_argument("-v", "--verbose", action="count", default=0,
@@ -165,6 +166,7 @@ def main(argv=None) -> int:
                 .num_reads(args.num_reads)
                 .remove_internal(args.filter_contained, args.max_overhang_ratio)
                 .engine(args.engine)
+                .device_paf(args.keep_temp)
                 .threads(args.threads)
                 .tmpdir(tmp.path)
                 .seed(args.seed)
@@ -184,6 +186,7 @@ def main(argv=None) -> int:
                 .remove_internal(args.filter_contained, args.max_overhang_ratio)
                 .use_min_ref(args.use_min_ref)
                 .engine(args.engine)
+                .device_paf(args.keep_temp)
                 .threads(args.threads)
                 .tmpdir(tmp.path)
                 .seed(args.seed)

@@ -289,22 +289,60 @@ class DeviceOverlapEngine:
             return self.host.count_overlaps_many(items, want_pairs=True)
         return [(c, h, None) for c, h in self._host_count_many(items)]
 
-    def _host_count_filtered(self, items, ratio):
-        """Exact host -F counting: unique targets whose mapping passes
-        the is_internal overhang filter (`twoset.rs:286-301` with the
-        `-F` branch).  map_read-based — the native count kernel has no
-        coordinates — so threads parallelise the GIL-releasing chain DP.
+    def _host_count_filtered(
+        self, items, ratio, mode="internal", want_pairs=False
+    ):
+        """Exact host -F counting: unique targets with any mapping that
+        passes the overhang filter (`twoset.rs:286-301` with the `-F`
+        branch; ``mode="overhang"`` applies the inverted
+        ``--use-min-ref`` comparison, `twoset.rs:493-517`).
+        map_read-based — the native count kernel has no coordinates —
+        so threads parallelise the GIL-releasing chain DP.  With
+        ``want_pairs`` each row's result carries the passing target-id
+        array (count/pair triples like :meth:`_host_count_pairs`).
         """
         from concurrent.futures import ThreadPoolExecutor
 
         import os as _os
 
+        ratio32 = np.float32(ratio)
+
         def one(it):
             nm, sq = it
             recs = self.host.map_read(nm, sq)
-            uniq = {
-                r.target_name for r in recs if not r.is_internal(ratio)
-            }
+            uniq = []
+            seen = set()
+            for m in recs:
+                if m.target_name in seen:
+                    continue
+                if mode == "internal":
+                    if m.is_internal(ratio):
+                        continue
+                else:
+                    # inverse --use-min-ref -F comparison
+                    # (`twoset.rs:493-517`: i32-truncated f32 product)
+                    if m.strand == "+":
+                        overhang = min(m.query_start, m.target_start) + min(
+                            m.query_len - m.query_end,
+                            m.target_len - m.target_end,
+                        )
+                    else:
+                        overhang = min(
+                            m.query_start, m.target_len - m.target_end
+                        ) + min(m.query_len - m.query_end, m.target_start)
+                    maplen = max(
+                        m.query_end - m.query_start,
+                        m.target_end - m.target_start,
+                    )
+                    if overhang > int(np.float32(maplen) * ratio32):
+                        continue
+                seen.add(m.target_name)
+                uniq.append(m.target_name)
+            if want_pairs:
+                rids = np.array(
+                    [self.host._name_to_rid[t] for t in uniq], dtype=np.int32
+                )
+                return len(uniq), int(bool(recs)), rids
             return len(uniq), int(bool(recs))
 
         if len(items) <= 1:
@@ -397,7 +435,10 @@ class DeviceOverlapEngine:
             return 0.0
         return share
 
-    def warmup(self, lengths=None, filter_ratio=None) -> None:
+    def warmup(
+        self, lengths=None, filter_ratio=None, filter_mode="internal",
+        want_pairs=False,
+    ) -> None:
         """Compile the fused programs ahead of the mapping pass.
 
         With ``lengths`` (the query read lengths about to be mapped)
@@ -422,7 +463,13 @@ class DeviceOverlapEngine:
             # must not be compiled (remote compiles cost seconds each)
             max_bucket = self.length_buckets[-1]
             dev_lens = sorted(x for x in lengths if x <= max_bucket)
-            share = self._host_share_fraction(len(dev_lens), pairs_wanted=False)
+            share = (
+                0.0
+                if filter_ratio is not None
+                else self._host_share_fraction(
+                    len(dev_lens), pairs_wanted=want_pairs
+                )
+            )
             k = int(len(dev_lens) * share)
             lengths = dev_lens[k:]
         jobs = []
@@ -433,6 +480,18 @@ class DeviceOverlapEngine:
             lo = L
         self._warming = True  # bypass the sparse-bucket host routing
         try:
+
+            def _one(job):
+                lo_, L_ = job
+                fake = [b"ACGT" * (max(lo_ + 4, L_ // 2) // 4)] * 2
+                self.count_batch(
+                    [b"__warm0", b"__warm1"],
+                    fake,
+                    collect_pairs={} if want_pairs else None,
+                    filter_ratio=filter_ratio,
+                    filter_mode=filter_mode,
+                )
+
             if len(jobs) > 1:
                 # compile buckets CONCURRENTLY: each bucket is a separate
                 # program pair and the (remote) compile service
@@ -440,35 +499,35 @@ class DeviceOverlapEngine:
                 # slowest program instead of the sum
                 from concurrent.futures import ThreadPoolExecutor
 
-                def _one(job):
-                    lo_, L_ = job
-                    fake = [b"ACGT" * (max(lo_ + 4, L_ // 2) // 4)] * 2
-                    self.count_batch(
-                        [b"__warm0", b"__warm1"], fake, filter_ratio=filter_ratio
-                    )
-
                 with ThreadPoolExecutor(len(jobs)) as ex:
                     list(ex.map(_one, jobs))
             else:
-                for lo_, L_ in jobs:
-                    fake = [b"ACGT" * (max(lo_ + 4, L_ // 2) // 4)] * 2
-                    self.count_batch(
-                        [b"__warm0", b"__warm1"], fake, filter_ratio=filter_ratio
-                    )
+                for job in jobs:
+                    _one(job)
         finally:
             self._warming = False
 
     def count_batch(
-        self, names: list, seqs: list, collect_pairs=None, filter_ratio=None
+        self,
+        names: list,
+        seqs: list,
+        collect_pairs=None,
+        filter_ratio=None,
+        filter_mode="internal",
     ) -> BatchCounts:
         """Count overlaps per query; optionally collect passing target
         ids per query into ``collect_pairs`` (a dict qid -> rid array),
-        used for the ava strategy's symmetric pair counting.
+        used for the ava strategy's symmetric pair counting and the
+        ``--use-min-ref`` per-query accumulation.
 
-        ``filter_ratio`` applies the reference's ``-F`` is_internal
-        overhang filter on device (callers must check
-        :meth:`supports_device_filter` first); host recomputes (exact
-        map_read + filter) cover the flagged rows."""
+        ``filter_ratio`` applies the reference's ``-F`` overhang filter
+        on device (callers must check :meth:`supports_device_filter`
+        first); ``filter_mode`` picks the forward is_internal comparison
+        (``"internal"``) or the inverted ``--use-min-ref`` one
+        (``"overhang"``).  Host recomputes (exact map_read + filter)
+        cover the flagged rows.  ``filter_ratio`` composes with
+        ``collect_pairs``: the pair lists then hold only targets whose
+        mappings pass the filter (the ava/inverse ``-F`` paths)."""
         import time as _time
 
         n = len(seqs)
@@ -477,15 +536,24 @@ class DeviceOverlapEngine:
         fallback = 0
         phases = {"prep": 0.0, "enqueue": 0.0, "collect": 0.0, "retry": 0.0}
         _t0 = _time.perf_counter()
-        if filter_ratio is not None:
-            assert collect_pairs is None, "-F does not collect pairs"
+        if filter_ratio is None:
+            # keep the jit cache key canonical when no filter runs
+            filter_mode = "internal"
+        else:
             assert self.supports_device_filter() or not self.device_ok
         if not self.device_ok:
             if filter_ratio is not None:
-                for i, (c, h) in enumerate(
-                    self._host_count_filtered(list(zip(names, seqs)), filter_ratio)
+                for i, res_h in enumerate(
+                    self._host_count_filtered(
+                        list(zip(names, seqs)),
+                        filter_ratio,
+                        mode=filter_mode,
+                        want_pairs=collect_pairs is not None,
+                    )
                 ):
-                    counts[i], had[i] = c, h
+                    counts[i], had[i] = res_h[0], res_h[1]
+                    if collect_pairs is not None:
+                        collect_pairs[i] = res_h[2]
                 return BatchCounts(counts, had, n)
             if collect_pairs is not None:
                 for i, (c, h, rids) in enumerate(
@@ -555,7 +623,12 @@ class DeviceOverlapEngine:
 
         host_rows_all = long_rows + host_share_rows
         if filter_ratio is not None:
-            host_fn = lambda items: self._host_count_filtered(items, filter_ratio)
+            host_fn = lambda items: self._host_count_filtered(
+                items,
+                filter_ratio,
+                mode=filter_mode,
+                want_pairs=collect_pairs is not None,
+            )
         elif collect_pairs is not None:
             host_fn = self._host_count_pairs
         else:
@@ -691,6 +764,7 @@ class DeviceOverlapEngine:
                         sort_rows=_os.environ.get("LRGE_FUSED_SORT", "1") == "1",
                         want_extents=filter_ratio is not None,
                         overhang_ratio=float(filter_ratio or 0.2),
+                        filter_mode=filter_mode,
                         idx_tlen=gd.tlen,
                         dp_chunk=int(_os.environ.get("LRGE_DP_CHUNK", "1")),
                     )
@@ -828,8 +902,16 @@ class DeviceOverlapEngine:
                 t_quirk = np.zeros_like(prior)
             prior = prior | t_quirk
             if collect_pairs is not None:
+                # with -F the count plane carries the pre-filter
+                # had-mapping bit at 24; compare against the filtered
+                # count only
+                cnt_plane = (
+                    (bcounts[:nb] & 0xFFFFFF)
+                    if filter_ratio is not None
+                    else bcounts[:nb]
+                )
                 t_pair = (
-                    ((pair_rids[:nb] >= 0).sum(axis=2) < bcounts[:nb])
+                    ((pair_rids[:nb] >= 0).sum(axis=2) < cnt_plane)
                     & live
                     & ~prior
                 )

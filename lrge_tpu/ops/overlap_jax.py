@@ -336,6 +336,7 @@ def _expand_sort_chain(
     packed_rid_bits=0,
     want_extents=False,
     overhang_ratio=0.2,
+    filter_mode="internal",
     idx_tlen=None,
     dp_chunk=1,
 ):
@@ -343,12 +344,16 @@ def _expand_sort_chain(
 
     ``want_extents`` (constant-span presets only) additionally tracks
     each chain's START coordinates, anchor count, and a deep-valley
-    flag through the DP, so the reduce can apply the reference's
-    ``is_internal`` overhang filter (`mapping.rs:59-77`, the ``-F``
-    flag) per passing target on device.  Rows whose decision could
-    differ from the exact host backtrack (internal best chain with a
-    possible passing secondary, or a valley the backtrack would trim)
-    are flagged for host recompute via the ``max_run`` channel.
+    flag through the DP, so the reduce can apply the reference's ``-F``
+    overhang filter per passing target on device.  ``filter_mode``
+    picks the comparison: ``"internal"`` drops internal matches
+    (`mapping.rs:59-77`, the forward two-set/ava paths) and
+    ``"overhang"`` drops overhang-heavy matches (the inverted
+    comparison of the ``--use-min-ref`` path, `twoset.rs:493-517`).
+    Rows whose decision could differ from the exact host backtrack
+    (dropped best chain with a possible passing secondary, or a valley
+    the backtrack would trim) are flagged for host recompute via the
+    ``max_run`` channel.
 
     Shared tail of the device pipeline: callers provide the per-query
     posting ranges however they were looked up (inline dictionary in
@@ -772,7 +777,7 @@ def _expand_sort_chain(
         extents = dict(
             starts=s_steps[:A].T, rmf=r_steps[:A].T, rpos=rpos_s, qpos=qpos_s,
             qlen=qlen, idx_tlen=idx_tlen, ratio=overhang_ratio, span=k,
-            cnt=c_steps[:A].T,
+            cnt=c_steps[:A].T, mode=filter_mode,
         )
     return _reduce_counts(
         f, broke, rid_s, key2_s, valid_s, n_anchors, B, A, W, min_score,
@@ -862,10 +867,18 @@ def _reduce_counts(
         ov_m = jnp.minimum(qs, tlen - re_) + jnp.minimum(qlen_col - qe, rs)
         ov = jnp.where(rev, ov_m, ov_p)
         maplen = jnp.maximum(jnp.maximum(qe - qs, re_ - rs), 1)
-        internal = (
-            ov.astype(jnp.float32) / maplen.astype(jnp.float32)
-        ) < jnp.float32(extents["ratio"])
-        passing = score_ok & ~internal
+        if extents["mode"] == "internal":
+            # forward -F: drop internal matches (mapping.rs:59-77)
+            dropped = (
+                ov.astype(jnp.float32) / maplen.astype(jnp.float32)
+            ) < jnp.float32(extents["ratio"])
+        else:
+            # inverse --use-min-ref -F: drop overhang-HEAVY matches
+            # (`twoset.rs:493-517`; i32 truncation of the f32 product)
+            dropped = ov > (
+                maplen.astype(jnp.float32) * jnp.float32(extents["ratio"])
+            ).astype(jnp.int32)
+        passing = score_ok & ~dropped
         # rid-run anchor totals for the secondary-chain bound
         idxs0 = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32), (B, A))
         rstart, _ = jax.lax.associative_scan(
@@ -875,7 +888,7 @@ def _reduce_counts(
         sec_possible = (run_len - cnt_best) * span >= min_score
         valley = (rmf_best & 1) == 1
         suspicious = jnp.any(
-            score_ok & (valley | (internal & sec_possible)), axis=1
+            score_ok & (valley | (dropped & sec_possible)), axis=1
         )
     counts = jnp.sum(passing, axis=1).astype(jnp.int32)
     if extents is not None:
@@ -1357,6 +1370,7 @@ def map_found_core(
     packed_dict_bits=0,
     want_extents=False,
     overhang_ratio=0.2,
+    filter_mode="internal",
     idx_tlen=None,
     dp_chunk=1,
 ):
@@ -1403,6 +1417,7 @@ def map_found_core(
         packed_rid_bits=packed_rid_bits,
         want_extents=want_extents,
         overhang_ratio=overhang_ratio,
+        filter_mode=filter_mode,
         idx_tlen=idx_tlen,
         dp_chunk=dp_chunk,
     )
@@ -1531,6 +1546,7 @@ def sketch_map_many_core(
     sort_rows=True,
     want_extents=False,
     overhang_ratio=0.2,
+    filter_mode="internal",
     idx_tlen=None,
     dp_chunk=1,
 ):
@@ -1605,8 +1621,8 @@ def sketch_map_many_core(
             pallas_interpret=False, with_spans=False, min_cnt=min_cnt,
             want_pairs=want_pairs, packed_rid_bits=packed_rid_bits,
             packed_dict_bits=packed_dict_bits, want_extents=want_extents,
-            overhang_ratio=overhang_ratio, idx_tlen=idx_tlen,
-            dp_chunk=dp_chunk,
+            overhang_ratio=overhang_ratio, filter_mode=filter_mode,
+            idx_tlen=idx_tlen, dp_chunk=dp_chunk,
         )
         return jnp.stack([counts, n_anchors, max_run], axis=-1), pairs
 
@@ -1633,7 +1649,7 @@ sketch_map_many = functools.partial(
         "max_gap", "bw", "min_score", "num_anchors", "window",
         "no_dual", "no_diag", "max_chain_skip", "packed_pos",
         "min_cnt", "want_pairs", "packed_rid_bits", "packed_dict_bits",
-        "sort_rows", "want_extents", "overhang_ratio", "dp_chunk",
+        "sort_rows", "want_extents", "overhang_ratio", "filter_mode", "dp_chunk",
     ),
 )(sketch_map_many_core)
 

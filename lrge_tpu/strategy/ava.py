@@ -51,8 +51,10 @@ class AvaStrategy(Estimate):
         seed: Optional[int] = None,
         platform: Platform = Platform.NANOPORE,
         engine: str = "host",
+        device_paf: bool = False,
     ):
         self.engine = engine
+        self.device_paf = device_paf
         self.input = Path(input_path)
         self.num_reads = num_reads
         self.num_bases = 0
@@ -108,12 +110,23 @@ class AvaStrategy(Estimate):
         engine = OverlapEngine(index)
         overlap_threshold = params.min_chain_score
 
-        if self.engine == "device" and not self.remove_internal:
-            return self._count_device(engine, reads, sum_len, read_lengths)
-        if self.engine == "device" and self.remove_internal:
+        if self.engine == "device":
+            if not self.remove_internal:
+                return self._count_device(engine, reads, sum_len, read_lengths)
+            # ava -F: the fused extent reduce applies is_internal per
+            # passing target on device (`ava.rs:283-287`); undecidable
+            # rows recompute on the host
+            from ..device_engine import DeviceOverlapEngine
+
+            dev = DeviceOverlapEngine(engine.index)
+            if dev.supports_device_filter():
+                return self._count_device(
+                    engine, reads, sum_len, read_lengths, dev=dev,
+                    filter_ratio=self.max_overhang_ratio,
+                )
             logger.info(
-                "-F/--filter-contained needs mapping coordinates; "
-                "using the host engine instead of the device pipeline"
+                "-F/--filter-contained: this configuration needs mapping "
+                "coordinates on the host; using the host engine"
             )
         from ..engine import ParallelHostMapper
 
@@ -175,24 +188,49 @@ class AvaStrategy(Estimate):
         return estimates, no_mapping_count
 
 
-    def _count_device(self, engine, reads, sum_len, read_lengths):
+    def _count_device(
+        self, engine, reads, sum_len, read_lengths, dev=None, filter_ratio=None
+    ):
         """Device counting path with symmetric pair accumulation.
 
         Each passing (query, target) pair is discovered exactly once
         (the no-dual mask keeps only targets whose name is >= the
         query's) and increments both reads' counters (`ava.rs:289-301`
         semantics; the seen-pairs dedup is implied by uniqueness).
+        With ``filter_ratio`` the pair lists hold only non-internal
+        targets (the -F filter applied in the fused reduce,
+        `ava.rs:283-287`).  PAF side-output only under -C/-D.
         """
         from ..device_engine import DeviceOverlapEngine
         from ..estimate import per_read_estimate
 
-        logger.info("Using device overlap engine (overlaps.paf not written)")
-        dev = DeviceOverlapEngine(engine.index)
+        logger.info(
+            "Using device overlap engine (%s)",
+            "overlaps.paf via host re-map of mapped rows"
+            if self.device_paf
+            else "overlaps.paf not written; pass -C/-D to produce it",
+        )
+        if dev is None:
+            dev = DeviceOverlapEngine(engine.index)
         names = [n for n, _ in reads]
         seqs = [s for _, s in reads]
-        dev.warmup([len(s) for s in seqs])
+        dev.warmup(
+            [len(s) for s in seqs], filter_ratio=filter_ratio, want_pairs=True
+        )
         pairs: dict[int, np.ndarray] = {}
-        res = dev.count_batch(names, seqs, collect_pairs=pairs)
+        res = dev.count_batch(
+            names, seqs, collect_pairs=pairs, filter_ratio=filter_ratio
+        )
+        if self.device_paf:
+            from ..engine import ParallelHostMapper
+
+            mapper = ParallelHostMapper(engine.index, self.threads)
+            rows = [r for r, h in zip(reads, res.had_mapping) if h]
+            with open(self.tmpdir / "overlaps.paf", "w") as paf:
+                for recs in mapper.map_reads(rows):
+                    for m in recs:
+                        paf.write(m.to_line() + "\n")
+            mapper.close()
         ovlap_counter = {nm: 0 for nm in names}
         for qid, rids in pairs.items():
             qname = names[qid]
@@ -210,6 +248,8 @@ class AvaStrategy(Estimate):
             uniq = set()
             for m in recs:
                 if m.target_name == names[qid] or m.target_name in uniq:
+                    continue
+                if filter_ratio is not None and m.is_internal(filter_ratio):
                     continue
                 uniq.add(m.target_name)
                 ovlap_counter[m.target_name] += 1
@@ -279,6 +319,12 @@ class AvaBuilder:
 
     def engine(self, engine: str) -> "AvaBuilder":
         self._kw["engine"] = engine
+        return self
+
+    def device_paf(self, yes: bool) -> "AvaBuilder":
+        """Write overlaps.paf on device runs (host re-map of mapped
+        rows; the CLI sets this for -C/-D)."""
+        self._kw["device_paf"] = yes
         return self
 
     def build(self, input_path) -> AvaStrategy:

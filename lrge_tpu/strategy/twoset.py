@@ -62,9 +62,11 @@ class TwoSetStrategy(Estimate):
         seed: Optional[int] = None,
         platform: Platform = Platform.NANOPORE,
         engine: str = "host",
+        device_paf: bool = False,
     ):
         self.input = Path(input_path)
         self.engine = engine
+        self.device_paf = device_paf
         self.target_num_reads = target_num_reads
         self.query_num_reads = query_num_reads
         self.target_num_bases = 0
@@ -160,6 +162,34 @@ class TwoSetStrategy(Estimate):
             return self._align_reads_inverse(targets, queries, avg_target_len)
         return self._align_reads(targets, queries, avg_target_len)
 
+    def _write_paf_host(self, index, rows):
+        """Exact ``overlaps.paf`` side-output for device paths.
+
+        The reference writes the PAF unconditionally (`twoset.rs:244`)
+        but the device pipeline only produces counts; when the caller
+        keeps the temp dir (``-C``/``-D``) the mapped rows are re-run
+        through the host ``map_read`` (threaded) so the artifact matches
+        the host engine's byte for byte.  ``rows`` must be in query
+        order (unmapped rows contribute no lines either way).
+        """
+        from ..engine import ParallelHostMapper
+
+        mapper = ParallelHostMapper(index, self.threads)
+        paf_path = self.tmpdir / "overlaps.paf"
+        with open(paf_path, "w") as paf:
+            for recs in mapper.map_reads(rows):
+                for m in recs:
+                    paf.write(m.to_line() + "\n")
+        mapper.close()
+        logger.debug("Wrote %s from the host mapper (device run)", paf_path)
+
+    def _device_paf_note(self) -> str:
+        return (
+            "overlaps.paf via host re-map of mapped rows"
+            if self.device_paf
+            else "overlaps.paf not written; pass -C/-D to produce it"
+        )
+
     def _align_reads(self, targets, queries, avg_target_len):
         """Default direction: index targets, stream queries
         (`twoset.rs:204-367`).
@@ -224,11 +254,11 @@ class TwoSetStrategy(Estimate):
         return estimates, no_mapping_count
 
     def _align_reads_device(self, engine, queries, avg_target_len):
-        """Device counting path (no PAF side-output)."""
+        """Device counting path (PAF side-output only under -C/-D)."""
         from ..device_engine import DeviceOverlapEngine
         from ..estimate import per_read_estimate_batch
 
-        logger.info("Using device overlap engine (overlaps.paf not written)")
+        logger.info("Using device overlap engine (%s)", self._device_paf_note())
         dev = DeviceOverlapEngine(engine.index)
         names = [n for n, _ in queries]
         seqs = [s for _, s in queries]
@@ -244,6 +274,11 @@ class TwoSetStrategy(Estimate):
         else:
             dev.warmup([len(s) for s in seqs])
             res = dev.count_batch(names, seqs)
+        if self.device_paf:
+            self._write_paf_host(
+                engine.index,
+                [q for q, h in zip(queries, res.had_mapping) if h],
+            )
         no_mapping_count = int((~res.had_mapping).sum())
         estimates = per_read_estimate_batch(
             np.array([len(s) for s in seqs]),
@@ -262,17 +297,22 @@ class TwoSetStrategy(Estimate):
 
     def _align_reads_device_filtered(self, dev, queries, avg_target_len):
         """Device counting with the -F is_internal filter applied in the
-        fused reduce (overlaps.paf not written, like the device path)."""
+        fused reduce (PAF side-output only under -C/-D)."""
         from ..estimate import per_read_estimate_batch
 
         logger.info(
-            "Using device overlap engine with -F filtering "
-            "(overlaps.paf not written)"
+            "Using device overlap engine with -F filtering (%s)",
+            self._device_paf_note(),
         )
         names = [n for n, _ in queries]
         seqs = [s for _, s in queries]
         dev.warmup([len(s) for s in seqs], filter_ratio=self.max_overhang_ratio)
         res = dev.count_batch(names, seqs, filter_ratio=self.max_overhang_ratio)
+        if self.device_paf:
+            self._write_paf_host(
+                dev.index,
+                [q for q, h in zip(queries, res.had_mapping) if h],
+            )
         no_mapping_count = int((~res.had_mapping).sum())
         estimates = per_read_estimate_batch(
             np.array([len(s) for s in seqs]),
@@ -308,14 +348,27 @@ class TwoSetStrategy(Estimate):
                 raise DuplicateReadIdentifierError(qname.decode("utf-8", "replace"))
             read_lengths[qname] = len(seq)
             ovlap_counter[qname] = 0
-        if self.engine == "device" and not self.remove_internal:
-            return self._align_reads_inverse_device(
-                engine, targets, queries, avg_target_len, read_lengths, ovlap_counter
-            )
-        if self.engine == "device" and self.remove_internal:
+        if self.engine == "device":
+            if not self.remove_internal:
+                return self._align_reads_inverse_device(
+                    engine, targets, queries, avg_target_len, read_lengths,
+                    ovlap_counter,
+                )
+            # inverse -F: the fused extent reduce applies the inverted
+            # overhang comparison (`twoset.rs:493-517`) per passing
+            # target; undecidable rows recompute on the host
+            from ..device_engine import DeviceOverlapEngine
+
+            dev = DeviceOverlapEngine(engine.index)
+            if dev.supports_device_filter():
+                return self._align_reads_inverse_device(
+                    engine, targets, queries, avg_target_len, read_lengths,
+                    ovlap_counter, dev=dev,
+                    filter_ratio=self.max_overhang_ratio,
+                )
             logger.info(
-                "-F/--filter-contained needs mapping coordinates; "
-                "using the host engine instead of the device pipeline"
+                "-F/--filter-contained: this configuration needs mapping "
+                "coordinates on the host; using the host engine"
             )
         from ..engine import ParallelHostMapper
 
@@ -369,25 +422,44 @@ class TwoSetStrategy(Estimate):
         return estimates, no_mapping_count
 
     def _align_reads_inverse_device(
-        self, engine, targets, queries, avg_target_len, read_lengths, ovlap_counter
+        self, engine, targets, queries, avg_target_len, read_lengths,
+        ovlap_counter, dev=None, filter_ratio=None,
     ):
         """Device --use-min-ref: map targets against the query index,
         accumulate per-query counts from the per-row passing-id lists
         (row-level dedup == the reference's per-target unique set,
-        `twoset.rs:481-523`; overlaps.paf is not written, like the
-        forward device path)."""
+        `twoset.rs:481-523`).  With ``filter_ratio`` the pair lists hold
+        only targets passing the inverted overhang comparison
+        (`twoset.rs:493-517`).  PAF side-output only under -C/-D."""
         from ..device_engine import DeviceOverlapEngine
 
         logger.info(
-            "Using device overlap engine for --use-min-ref "
-            "(overlaps.paf not written)"
+            "Using device overlap engine for --use-min-ref (%s)",
+            self._device_paf_note(),
         )
-        dev = DeviceOverlapEngine(engine.index)
+        if dev is None:
+            dev = DeviceOverlapEngine(engine.index)
         tnames = [n for n, _ in targets]
         tseqs = [s for _, s in targets]
-        dev.warmup([len(s) for s in tseqs])
+        dev.warmup(
+            [len(s) for s in tseqs],
+            filter_ratio=filter_ratio,
+            filter_mode="overhang",
+            want_pairs=True,
+        )
         collect: dict = {}
-        dev.count_batch(tnames, tseqs, collect_pairs=collect)
+        res = dev.count_batch(
+            tnames,
+            tseqs,
+            collect_pairs=collect,
+            filter_ratio=filter_ratio,
+            filter_mode="overhang",
+        )
+        if self.device_paf:
+            self._write_paf_host(
+                engine.index,
+                [t for t, h in zip(targets, res.had_mapping) if h],
+            )
         counts = np.zeros(len(queries), dtype=np.int64)
         for rids in collect.values():
             counts[rids] += 1
@@ -466,8 +538,14 @@ class TwoSetBuilder:
 
     def engine(self, engine: str) -> "TwoSetBuilder":
         """"host" (default; writes overlaps.paf) or "device" (TPU
-        counting pipeline, no PAF side-output)."""
+        counting pipeline; PAF side-output only with device_paf)."""
         self._kw["engine"] = engine
+        return self
+
+    def device_paf(self, yes: bool) -> "TwoSetBuilder":
+        """Write overlaps.paf on device runs (host re-map of mapped
+        rows; the CLI sets this for -C/-D)."""
+        self._kw["device_paf"] = yes
         return self
 
     def build(self, input_path) -> TwoSetStrategy:

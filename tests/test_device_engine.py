@@ -331,3 +331,118 @@ def test_device_filter_contained_matches_host(tmp_path, monkeypatch):
     ).generate_estimates()
     assert nm_dev == nm_host
     np.testing.assert_array_equal(np.asarray(est_dev), np.asarray(est_host))
+
+
+def test_multi_bucket_routing_matches_host(corpus, monkeypatch):
+    """Reads straddling several length buckets must partition across
+    per-bucket programs (anchor capacity scaled by bucket, ``SUP``
+    shrunk to compensate) and still match the host exactly; buckets
+    with fewer rows than LRGE_DEVICE_MIN_ROWS must reroute to the host
+    (`device_engine.py` bucket partitioning / sparse routing)."""
+    targets, tnames, queries, qnames = corpus
+    rng = np.random.default_rng(99)
+    genome = bytes(rng.choice(list(b"ACGT"), size=120_000).tolist())
+    # lengths straddling the 1024 and 2048 boundaries + a long tail
+    lens = [700, 900, 1000, 1020, 1100, 1500, 1900, 2040, 600, 800] * 3
+    extra = make_reads(rng, genome, len(lens), 2000, err=0.08)
+    q2, qn2 = [], []
+    for i, L in enumerate(lens):
+        q2.append(extra[i][:L])
+        qn2.append(b"mb%d" % i)
+    # two reads longer than the last bucket -> long_read host fallback
+    q2.append(make_reads(rng, genome, 1, 2500, err=0.08)[0])
+    qn2.append(b"mblong0")
+    params = preset_for(Platform.NANOPORE, dual=True)
+    index = build_index(targets, tnames, params)
+    host = OverlapEngine(index)
+    monkeypatch.setenv("LRGE_DEVICE_BUCKET", "1024,2048")
+    monkeypatch.setenv("LRGE_DEVICE_MIN_ROWS", "2")
+    dev = DeviceOverlapEngine(index, batch_size=8, num_anchors=2048, window=128)
+    res = dev.count_batch(qn2, q2)
+    assert dev.fallback_triggers.get("long_read", 0) >= 1
+    for i, (nm, sq) in enumerate(zip(qn2, q2)):
+        hc, hh = host.count_overlaps(nm, sq)
+        assert res.counts[i] == hc, f"row {i} (len {len(sq)})"
+        assert bool(res.had_mapping[i]) == bool(hh)
+
+
+def test_multi_bucket_sparse_rerouting(corpus, monkeypatch):
+    """A bucket holding fewer rows than LRGE_DEVICE_MIN_ROWS must be
+    rerouted to the concurrent host path (sparse_bucket trigger)."""
+    targets, tnames, queries, qnames = corpus
+    params = preset_for(Platform.NANOPORE, dual=True)
+    index = build_index(targets, tnames, params)
+    host = OverlapEngine(index)
+    monkeypatch.setenv("LRGE_DEVICE_BUCKET", "1024,2048")
+    monkeypatch.setenv("LRGE_DEVICE_MIN_ROWS", "3")
+    monkeypatch.setenv("LRGE_HOST_SHARE", "0")
+    # 8 short rows (bucket 1024) + ONE mid row (bucket 2048, sparse)
+    q2 = [q[:900] for q in queries[:8]] + [queries[8][:1800]]
+    qn2 = [b"sp%d" % i for i in range(9)]
+    dev = DeviceOverlapEngine(index, batch_size=8, num_anchors=2048, window=128)
+    res = dev.count_batch(qn2, q2)
+    assert dev.fallback_triggers.get("sparse_bucket", 0) == 1
+    for i, (nm, sq) in enumerate(zip(qn2, q2)):
+        hc, _ = host.count_overlaps(nm, sq)
+        assert res.counts[i] == hc, f"row {i}"
+
+
+def _contained_corpus(tmp_path, rng_seed=31, n=120, genome_size=60_000):
+    rng = np.random.default_rng(rng_seed)
+    genome = bytes(rng.choice(list(b"ACGT"), size=genome_size).tolist())
+    rc = bytes.maketrans(b"ACGT", b"TGCA")
+    g = np.frombuffer(genome, np.uint8)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    fq = tmp_path / "reads.fq"
+    with open(fq, "wb") as fh:
+        for i in range(n):
+            L = int(rng.integers(350, 700)) if i % 3 else int(rng.integers(1800, 2600))
+            pos = int(rng.integers(0, len(genome) - L))
+            arr = g[pos : pos + L].copy()
+            ne = rng.binomial(L, 0.06)
+            arr[rng.integers(0, L, size=ne)] = bases[rng.integers(0, 4, size=ne)]
+            s = arr.tobytes()
+            if rng.integers(0, 2):
+                s = s.translate(rc)[::-1]
+            fh.write(b"@r%d\n%s\n+\n%s\n" % (i, s, b"I" * L))
+    return fq
+
+
+def test_device_ava_filter_matches_host(tmp_path, monkeypatch):
+    """ava -F on device: the filtered reduce feeds the pair plane, so
+    symmetric counting must match the host's seen-pairs + is_internal
+    semantics (`ava.rs:283-301`) on a containment-rich corpus."""
+    from lrge_tpu.strategy.ava import AvaStrategy
+
+    monkeypatch.setenv("LRGE_SHARDS", "1")
+    fq = _contained_corpus(tmp_path)
+    kw = dict(num_reads=90, seed=11, remove_internal=True, max_overhang_ratio=0.2)
+    est_dev, nm_dev = AvaStrategy(
+        fq, tmpdir=tmp_path / "d", engine="device", **kw
+    ).generate_estimates()
+    est_host, nm_host = AvaStrategy(
+        fq, tmpdir=tmp_path / "h", engine="host", **kw
+    ).generate_estimates()
+    assert nm_dev == nm_host
+    np.testing.assert_array_equal(np.asarray(est_dev), np.asarray(est_host))
+
+
+def test_device_inverse_filter_matches_host(tmp_path, monkeypatch):
+    """--use-min-ref -F on device: the inverted overhang comparison
+    (`twoset.rs:493-517`) in the fused reduce + pair accumulation must
+    match the host path exactly."""
+    from lrge_tpu.strategy.twoset import TwoSetStrategy
+
+    monkeypatch.setenv("LRGE_SHARDS", "1")
+    fq = _contained_corpus(tmp_path, rng_seed=47)
+    kw = dict(
+        target_num_reads=80, query_num_reads=30, seed=13,
+        remove_internal=True, max_overhang_ratio=0.2, use_min_ref=True,
+    )
+    sd = TwoSetStrategy(fq, tmpdir=tmp_path / "d", engine="device", **kw)
+    est_dev, nm_dev = sd.generate_estimates()
+    assert sd.target_num_bases > sd.query_num_bases, "inverse direction must engage"
+    sh = TwoSetStrategy(fq, tmpdir=tmp_path / "h", engine="host", **kw)
+    est_host, nm_host = sh.generate_estimates()
+    assert nm_dev == nm_host
+    np.testing.assert_array_equal(np.asarray(est_dev), np.asarray(est_host))

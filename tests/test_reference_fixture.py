@@ -81,6 +81,13 @@ MATRIX = [
     (["-n", "80", "-s", "5"], "306359"),
     (["-n", "60", "-s", "3", "-P", "pb"], "51119"),
     (["-T", "50", "-Q", "25", "-s", "1", "-f"], "72380.83"),
+    # ava -F (symmetric pair counting through the filtered reduce) and
+    # the inverse --use-min-ref -F (inverted overhang comparison,
+    # `twoset.rs:493-517`) — both run on device in the -F matrix below
+    (["-n", "80", "-s", "5", "-F"], "344279"),
+    (["-n", "100", "-s", "2", "-F"], "334130"),
+    (["-T", "50", "-Q", "25", "-s", "1", "--use-min-ref", "-F"], "107610"),
+    (["-T", "50", "-Q", "25", "-s", "7", "--use-min-ref", "-F"], "60835"),
 ]
 
 
@@ -113,10 +120,74 @@ def test_toy_bam_mode_matrix_device_equals_host(tmp_path, args, expect):
     ids=lambda v: " ".join(v) if isinstance(v, list) else v,
 )
 def test_toy_bam_filter_device_equals_host(tmp_path, args, expect, monkeypatch):
-    # -F on device: fused extent tracking + is_internal reduce
-    # (single-device fused path; the sharded mesh falls back to host)
+    # -F on device: fused extent tracking + filtered reduce, covering
+    # the forward is_internal comparison, the ava pair plane, and the
+    # inverted --use-min-ref comparison (single-device fused path; the
+    # sharded mesh falls back to host)
     monkeypatch.setenv("LRGE_SHARDS", "1")
     out = tmp_path / "o.txt"
     rc = main([str(TOY_BAM)] + args + ["--engine", "device", "-o", str(out), "-qqq"])
     assert rc == 0
     assert out.read_text().strip() == expect
+
+
+@pytest.mark.parametrize(
+    "args",
+    [
+        ["-T", "50", "-Q", "25", "-s", "1"],
+        ["-T", "50", "-Q", "25", "-s", "1", "-F"],
+        ["-T", "50", "-Q", "25", "-s", "1", "--use-min-ref"],
+        ["-n", "80", "-s", "5"],
+    ],
+    ids=lambda v: " ".join(v),
+)
+def test_device_keep_temp_writes_matching_paf(tmp_path, args, monkeypatch):
+    # The reference always leaves overlaps.paf in the temp dir and -C
+    # keeps it (`twoset.rs:244`, `lrge/src/utils.rs:4-17`).  A device
+    # run with -C must produce a PAF byte-identical to the host
+    # engine's (rows re-mapped through host map_read in query order).
+    monkeypatch.setenv("LRGE_SHARDS", "1")
+    host_dir = tmp_path / "host"
+    dev_dir = tmp_path / "dev"
+    rc = main([str(TOY_BAM)] + args + ["-C", "-D", str(host_dir), "-o", str(tmp_path / "h.txt"), "-qqq"])
+    assert rc == 0
+    rc = main(
+        [str(TOY_BAM)] + args
+        + ["--engine", "device", "-C", "-D", str(dev_dir), "-o", str(tmp_path / "d.txt"), "-qqq"]
+    )
+    assert rc == 0
+    # -D creates an lrge-XXXX dir inside the given directory (utils.rs:4-17)
+    (host_paf_path,) = host_dir.glob("lrge-*/overlaps.paf")
+    (dev_paf_path,) = dev_dir.glob("lrge-*/overlaps.paf")
+    host_paf = host_paf_path.read_bytes()
+    assert len(host_paf) > 0
+    assert dev_paf_path.read_bytes() == host_paf
+
+
+def test_device_no_keep_temp_skips_paf(tmp_path, monkeypatch):
+    # without -C/-D the device path does not spend a host mapping pass
+    # on an artifact that is deleted on exit
+    monkeypatch.setenv("LRGE_SHARDS", "1")
+    import lrge_tpu.utils as _u
+
+    seen = {}
+    orig = _u.create_temp_dir
+
+    def spy(path, keep):
+        t = orig(path, keep)
+        real = t.cleanup
+
+        def cleanup():
+            seen["pre"] = (t.path / "overlaps.paf").exists()
+            real()
+
+        t.cleanup = cleanup
+        return t
+
+    monkeypatch.setattr("lrge_tpu.cli.create_temp_dir", spy)
+    rc = main(
+        [str(TOY_BAM), "-T", "50", "-Q", "25", "-s", "1", "--engine", "device",
+         "-o", str(tmp_path / "o.txt"), "-qqq"]
+    )
+    assert rc == 0
+    assert seen["pre"] is False
