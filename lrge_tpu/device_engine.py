@@ -161,13 +161,15 @@ class DeviceOverlapEngine:
                     self._mesh = make_mesh(n_data, n_dev // n_data)
                     self._idx_tree = sgi.device_put(self._mesh)
                     p = self.params
-                    self._sharded_fn = sharded_count_fn(
-                        self._mesh,
+                    # per-bucket programs: anchor capacity scales with
+                    # the length bucket, and num_anchors is a static of
+                    # the compiled ring program, so each capacity gets
+                    # its own jitted fn (built lazily, cached)
+                    self._sharded_kwargs = dict(
                         k=p.k,
                         max_gap=p.max_gap,
                         bw=p.bw,
                         min_score=p.min_chain_score,
-                        num_anchors=num_anchors,
                         window=window,
                         no_dual=p.no_dual,
                         no_diag=p.no_diag,
@@ -180,6 +182,8 @@ class DeviceOverlapEngine:
                         packed_rid_bits=sgi.packed_rid_bits,
                         packed_dict_bits=sgi.packed_dict_bits,
                     )
+                    self._sharded_fns = {}
+                    self._sharded_fn = self._sharded_fn_for(num_anchors)
                     logger.debug(
                         "device engine: sharded over %d devices (%dx%d mesh)",
                         n_dev, n_data, n_dev // n_data,
@@ -367,19 +371,69 @@ class DeviceOverlapEngine:
             and self.length_buckets[-1] + self.params.k < (1 << 16)
         )
 
-    def _sharded_group(self, q0, q1, mps, lengths, dual, selfr, nb):
+    def _sharded_fn_for(self, num_anchors: int):
+        """The jitted ring-counting fn for one anchor capacity (cached —
+        capacity scales with the length bucket and is a compile-time
+        static of the program)."""
+        fn = self._sharded_fns.get(num_anchors)
+        if fn is None:
+            from .parallel.sharded import sharded_count_fn
+
+            fn = sharded_count_fn(
+                self._mesh, num_anchors=num_anchors, **self._sharded_kwargs
+            )
+            self._sharded_fns[num_anchors] = fn
+        return fn
+
+    def triage_flags(self, live, n_anchors, cap, max_run, mcount, mcap,
+                     codes, lengths):
+        """Vectorised exactness triage shared by :meth:`count_batch` and
+        the multi-host scheduler (`parallel/distributed.py`): flag rows
+        whose device result cannot be guaranteed exact — anchor-buffer
+        overflow, a (rid,strand) run longer than the DP window,
+        minimizer-capacity truncation, or ambiguous bases forcing the
+        scalar sketch oracle (ONT only; the PacBio planes are
+        host-sketched exactly, so ``codes`` may be None there).  Tallies
+        ``fallback_triggers`` with the historical precedence and returns
+        the boolean "needs host recompute" mask."""
+        t_over = (n_anchors > cap) & live
+        t_miss = (max_run > self.window) & live & ~t_over
+        t_mini = (mcount > mcap) & live & ~t_over & ~t_miss
+        prior = t_over | t_miss | t_mini
+        if not self.pb_mode:
+            # ambiguous bases force the scalar sketch oracle; the
+            # padding tail is code 4 too, so subtract it out
+            n_amb = (codes >= 4).sum(axis=-1, dtype=np.int64)
+            pad_tail = codes.shape[-1] - lengths
+            t_quirk = ((n_amb - pad_tail) > 0) & live & ~prior
+        else:
+            t_quirk = np.zeros_like(prior)
+        for key, trig in (
+            ("anchor_overflow", t_over),
+            ("window_miss", t_miss),
+            ("minimizer_overflow", t_mini),
+            ("sketch_quirk", t_quirk),
+        ):
+            c_t = int(trig.sum())
+            if c_t:
+                self.fallback_triggers[key] += c_t
+        return prior | t_quirk
+
+    def _sharded_group(self, q0, q1, mps, lengths, dual, selfr, nb, A=None):
         """Dispatch one super-batch group through the sharded mesh fn,
         returning arrays shaped like a map_many sub-result
         ([SUPER, B] / [SUPER, B, P]).
 
         ``q0``/``q1`` are the query hash planes ([G, B, M]; uint32
         mhash + dummy for ONT, int32 qhi/qlo for PacBio) and ``mps`` the
-        packed pos/strand plane matching the preset."""
+        packed pos/strand plane matching the preset.  ``A`` picks the
+        bucket-scaled anchor capacity (defaults to the base capacity)."""
         import jax.numpy as jnp
 
+        fn = self._sharded_fn_for(A or self.num_anchors)
         cs, ans, mrs, prs = [], [], [], []
         for g in range(q0.shape[0]):
-            c, a, r, pr = self._sharded_fn(
+            c, a, r, pr = fn(
                 self._idx_tree,
                 q0[g],
                 q1[g],
@@ -434,6 +488,58 @@ class DeviceOverlapEngine:
         if share <= 0 or _native is None or n_dev_rows < 4 * self.batch_size:
             return 0.0
         return share
+
+    def plan_rows(
+        self,
+        seqs,
+        rows,
+        *,
+        pairs_wanted=False,
+        filter_active=False,
+        warming=False,
+    ):
+        """Partition ``rows`` into the three dispatch classes.
+
+        Returns ``(host_rows, host_share_rows, {L: bucket_rows})``:
+        rows longer than the last bucket or landing in a sparse bucket
+        (< LRGE_DEVICE_MIN_ROWS) go to the host; the shortest
+        device-eligible rows are handed to the concurrent host engine
+        per :meth:`_host_share_fraction`; the rest partition into
+        length buckets.  Shared by :meth:`count_batch` and the
+        multi-host lockstep scheduler
+        (`parallel/distributed.py`) so the two paths cannot diverge.
+        """
+        import os as _os
+
+        max_bucket = self.length_buckets[-1]
+        long_rows = [i for i in rows if len(seqs[i]) > max_bucket]
+        dev_rows = [i for i in rows if len(seqs[i]) <= max_bucket]
+        min_rows = (
+            0 if warming else int(_os.environ.get("LRGE_DEVICE_MIN_ROWS", 32))
+        )
+        host_share_rows = []
+        if not warming and not filter_active:
+            # (-F host counting is map_read-based and slow; keep the
+            # chip as the primary engine there)
+            share = self._host_share_fraction(
+                len(dev_rows), pairs_wanted=pairs_wanted
+            )
+            if share > 0:
+                k = int(len(dev_rows) * share)
+                if k:
+                    by_len = sorted(dev_rows, key=lambda i: len(seqs[i]))
+                    host_share_rows = by_len[:k]
+                    dev_rows = by_len[k:]
+        bucket_rows = {}
+        lo = 0
+        for L in self.length_buckets:
+            rows_b = [i for i in dev_rows if lo < len(seqs[i]) <= L]
+            lo = L
+            if 0 < len(rows_b) <= min_rows:
+                long_rows.extend(rows_b)
+            else:
+                bucket_rows[L] = rows_b
+        return long_rows, host_share_rows, bucket_rows
 
     def warmup(
         self, lengths=None, filter_ratio=None, filter_mode="internal",
@@ -576,47 +682,20 @@ class DeviceOverlapEngine:
 
         p = self.params
         max_bucket = self.length_buckets[-1]
-        long_rows = [i for i, s in enumerate(seqs) if len(s) > max_bucket]
-        dev_rows = [i for i in range(n) if len(seqs[i]) <= max_bucket]
-        # sparse buckets are cheaper on the host: a bucket dispatch has a
-        # fixed device cost (the scan runs every anchor slot), so a
-        # handful of long-tail reads would pay seconds of device time for
-        # milliseconds of host work — and the host runs concurrently
         import os as _os
 
-        min_rows = (
-            0
-            if getattr(self, "_warming", False)
-            else int(_os.environ.get("LRGE_DEVICE_MIN_ROWS", 32))
+        # sparse buckets are cheaper on the host (a bucket dispatch has
+        # a fixed device cost), and the heterogeneous split hands the
+        # shortest rows to the exact host engine, which runs
+        # CONCURRENTLY with device execution (the relay waits release
+        # the GIL) — see plan_rows
+        long_rows, host_share_rows, bucket_rows = self.plan_rows(
+            seqs,
+            range(n),
+            pairs_wanted=collect_pairs is not None,
+            filter_active=filter_ratio is not None,
+            warming=getattr(self, "_warming", False),
         )
-        # heterogeneous split: hand the shortest rows to the exact host
-        # engine, which runs CONCURRENTLY with device execution (the
-        # relay waits release the GIL).  Short reads are the cheapest
-        # per-read on the host, and removing them drops whole
-        # length-sorted device batches.  Disabled while warming or when
-        # the native runtime (GIL-releasing chain DP) is unavailable.
-        host_share_rows = []
-        if not getattr(self, "_warming", False) and filter_ratio is None:
-            # (-F host counting is map_read-based and slow; keep the
-            # chip as the primary engine there)
-            share = self._host_share_fraction(
-                len(dev_rows), pairs_wanted=collect_pairs is not None
-            )
-            if share > 0:
-                k = int(len(dev_rows) * share)
-                if k:
-                    by_len = sorted(dev_rows, key=lambda i: len(seqs[i]))
-                    host_share_rows = by_len[:k]
-                    dev_rows = by_len[k:]
-        bucket_rows = {}
-        lo = 0
-        for L in self.length_buckets:
-            rows_b = [i for i in dev_rows if lo < len(seqs[i]) <= L]
-            lo = L
-            if 0 < len(rows_b) <= min_rows:
-                long_rows.extend(rows_b)
-            else:
-                bucket_rows[L] = rows_b
         # long-tail + host-share reads go to the host path concurrently
         # with device execution (the relay waits release the GIL)
         from concurrent.futures import ThreadPoolExecutor
@@ -710,7 +789,9 @@ class DeviceOverlapEngine:
                         q1 = jnp.zeros(mhash.shape[:2] + (1,), jnp.int32)
                         mpsd = mpos * 2 + mstrand
                     subs = [
-                        self._sharded_group(q0, q1, mpsd, lengths, dual, selfr, nb)
+                        self._sharded_group(
+                            q0, q1, mpsd, lengths, dual, selfr, nb, A=A
+                        )
                     ]
                     inflight.append((nb, B, A, codes, lengths, ids, mcount_d, subs))
                     continue
@@ -884,23 +965,12 @@ class DeviceOverlapEngine:
             if collect_pairs is not None:
                 pair_rids = np.concatenate(pair_lists, axis=-1)
             # vectorised exactness triage (a per-row Python loop here
-            # costs ~0.1 ms x thousands of rows, rivaling device time).
-            # Precedence of the trigger stats mirrors the old
-            # row-by-row elif chain.
+            # costs ~0.1 ms x thousands of rows, rivaling device time)
             live = ids[:nb] >= 0
-            t_over = (n_anchors[:nb] > A) & live
-            t_miss = (max_run[:nb] > self.window) & live & ~t_over
-            t_mini = (mcount[:nb] > M) & live & ~t_over & ~t_miss
-            prior = t_over | t_miss | t_mini
-            if not self.pb_mode:
-                # ambiguous bases force the scalar sketch oracle; the
-                # padding tail is code 4 too, so subtract it out
-                n_amb = (codes[:nb] >= 4).sum(axis=2, dtype=np.int64)
-                pad_tail = codes.shape[2] - lengths[:nb]
-                t_quirk = ((n_amb - pad_tail) > 0) & live & ~prior
-            else:
-                t_quirk = np.zeros_like(prior)
-            prior = prior | t_quirk
+            prior = self.triage_flags(
+                live, n_anchors[:nb], A, max_run[:nb], mcount[:nb], M,
+                codes[:nb], lengths[:nb],
+            )
             if collect_pairs is not None:
                 # with -F the count plane carries the pre-filter
                 # had-mapping bit at 24; compare against the filtered
@@ -915,19 +985,12 @@ class DeviceOverlapEngine:
                     & live
                     & ~prior
                 )
+                c_t = int(t_pair.sum())
+                if c_t:
+                    self.fallback_triggers["pair_truncation"] += c_t
             else:
                 t_pair = np.zeros_like(prior)
             needs = prior | t_pair
-            for key, trig in (
-                ("anchor_overflow", t_over),
-                ("window_miss", t_miss),
-                ("minimizer_overflow", t_mini),
-                ("sketch_quirk", t_quirk),
-                ("pair_truncation", t_pair),
-            ):
-                c_t = int(trig.sum())
-                if c_t:
-                    self.fallback_triggers[key] += c_t
             retry.extend(ids[:nb][needs].tolist())
             ok = live & ~needs
             ok_ids = ids[:nb][ok]

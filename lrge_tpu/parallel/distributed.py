@@ -87,23 +87,53 @@ def process_slice(n: int, pid: int, nproc: int) -> tuple[int, int]:
     return start, start + base + (1 if pid < rem else 0)
 
 
+def _local_rows(arr, pid: int, b_loc: int) -> np.ndarray:
+    """This process's rows of a ``P("data")``-sharded output.
+
+    Each process's addressable devices form one row of the
+    ``(data, index)`` mesh, so any local shard holds exactly the rows
+    this process contributed (replicated over "index") — no collective
+    needed to read back our own results."""
+    sh = arr.addressable_shards[0]
+    idx = sh.index[0]
+    assert idx.start == pid * b_loc and idx.stop == (pid + 1) * b_loc, (
+        "data-axis rows are not process-aligned; mesh/process order skewed"
+    )
+    return np.asarray(sh.data)
+
+
 def multihost_count_batch(dev, names: list, seqs: list):
     """Count overlaps for ALL queries across processes in lockstep.
 
     ``dev`` is a :class:`~lrge_tpu.device_engine.DeviceOverlapEngine`
     whose mesh spans processes (``data`` = processes).  Every process
     passes the FULL query list (deterministically identical across
-    processes); each one only sketches and host-recomputes its own
-    slice.  Returns a ``BatchCounts`` with the global counts, identical
-    on every process.
+    processes); each one only sketches, dispatches, and
+    host-recomputes its own slice.
+
+    The schedule is the production one — ``DeviceOverlapEngine.plan_rows``
+    partitions each process's slice into long-tail/sparse host rows, a
+    concurrent host share, and per-length-bucket device rows — shared
+    with the single-process :meth:`count_batch` so the two paths cannot
+    diverge.  Lockstep is preserved with exactly TWO small collectives
+    beyond the dispatches themselves: one [n_buckets] allgather agreeing
+    the per-bucket dispatch depth (host shares may differ across
+    heterogeneous hosts), and one packed [2, width] allgather assembling
+    the global count/had vectors at the end.  Per-dispatch results are
+    read from this process's own addressable shards (outputs are
+    ``P("data")``-sharded), so no per-dispatch collective runs at all.
+
+    Returns a ``BatchCounts`` with the global counts, identical on
+    every process.
     """
     import jax
     import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..device_engine import BatchCounts
     from ..ops.encode import encode_seq
-    from ..ops.overlap_jax import minimizer_cap
-    from ..ops.sketch import needs_scalar_sketch
+    from ..ops.overlap_jax import minimizer_cap, sketch_many
 
     nproc = jax.process_count()
     pid = jax.process_index()
@@ -117,138 +147,138 @@ def multihost_count_batch(dev, names: list, seqs: list):
     had = np.zeros(n, dtype=bool)
     fallback = 0
 
-    # ---- deterministic global schedule ----
-    # Device-eligible rows use ONE bucket (the largest) so every
-    # process compiles exactly one program; rows longer than the bucket
-    # go to each owner's host engine.
-    L = dev.length_buckets[-1]
-    A = dev.num_anchors * (L // dev.length_buckets[0])
-    M = minimizer_cap(L)
     B = dev.batch_size
     assert B % nproc == 0, "batch size must divide by process count"
     b_loc = B // nproc
     slices = [process_slice(n, q, nproc) for q in range(nproc)]
-    dev_rows_per = []  # per process: its device-eligible rows (global ids)
-    host_rows_per = []
-    for q in range(nproc):
-        s, e = slices[q]
-        rows = list(range(s, e))
-        dev_rows_per.append([i for i in rows if len(seqs[i]) <= L])
-        host_rows_per.append([i for i in rows if len(seqs[i]) > L])
-    n_dispatch = max(
-        (len(r) + b_loc - 1) // b_loc for r in dev_rows_per
-    ) if any(dev_rows_per) else 0
+    s, e = slices[pid]
+    long_rows, host_share_rows, bucket_rows = dev.plan_rows(
+        seqs, range(s, e)
+    )
 
-    # ---- local host work (long rows) runs concurrently ----
+    # ---- lockstep schedule: agree per-bucket dispatch depth ----
+    # plan_rows is deterministic per process but host shares scale with
+    # each host's cores, so depths can differ; one tiny allgather fixes
+    # the global depth and everyone pads with empty dispatches.
+    buckets = list(dev.length_buckets)
+    my_disp = np.array(
+        [(len(bucket_rows.get(L, ())) + b_loc - 1) // b_loc for L in buckets],
+        dtype=np.int32,
+    )
+    n_disp = np.asarray(multihost_utils.process_allgather(my_disp)).max(axis=0)
+
+    # ---- local host work (long tail + host share) runs concurrently ----
     from concurrent.futures import ThreadPoolExecutor
 
-    my_host_rows = host_rows_per[pid]
-    pool = ThreadPoolExecutor(1) if my_host_rows else None
+    host_rows_all = long_rows + host_share_rows
+    pool = ThreadPoolExecutor(1) if host_rows_all else None
     host_future = (
-        pool.submit(dev._host_count_many, [(names[i], seqs[i]) for i in my_host_rows])
-        if my_host_rows
+        pool.submit(
+            dev._host_count_many, [(names[i], seqs[i]) for i in host_rows_all]
+        )
+        if host_rows_all
         else None
     )
 
-    # ---- lockstep device dispatches ----
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
+    # ---- lockstep device dispatches (async; collect after enqueue) ----
     data_sh = NamedSharding(mesh, P("data", None))
     data_sh1 = NamedSharding(mesh, P("data"))
-    my_rows = dev_rows_per[pid]
+    mk = lambda sh, x: jax.make_array_from_process_local_data(
+        sh, np.ascontiguousarray(x)
+    )
     retry = []
-    qdualrank = {i: dev.host._dual_rank(names[i]) if p.no_dual else 0 for i in my_rows}
-    qselfrid = {i: dev.host._name_to_rid.get(names[i], -1) for i in my_rows}
-    for d in range(n_dispatch):
-        block = my_rows[d * b_loc : (d + 1) * b_loc]
-        ids = np.full(b_loc, -1, np.int64)
-        ids[: len(block)] = block
-        lengths = np.array(
-            [len(seqs[i]) if i >= 0 else 0 for i in ids], np.int32
-        )
-        qd = np.array([qdualrank.get(i, 0) for i in ids], np.int32)
-        qs = np.array([qselfrid.get(i, -1) for i in ids], np.int32)
-        if dev.pb_mode:
-            qhi, qlo, mps_h, mc = dev._pb_planes(
-                [seqs[i] if i >= 0 else b"" for i in ids], M
+    inflight = []
+    for bi, L in enumerate(buckets):
+        depth = int(n_disp[bi])
+        if depth == 0:
+            continue
+        scale = L // buckets[0]
+        A = dev.num_anchors * scale
+        M = minimizer_cap(L)
+        rows_b = bucket_rows.get(L, [])
+        for d in range(depth):
+            block = rows_b[d * b_loc : (d + 1) * b_loc]
+            ids = np.full(b_loc, -1, np.int64)
+            ids[: len(block)] = block
+            lengths = np.array(
+                [len(seqs[i]) if i >= 0 else 0 for i in ids], np.int32
             )
-            q0_l, q1_l, mps_l = qhi, qlo, mps_h
-        else:
-            codes = np.full((b_loc, L), 4, np.uint8)
-            for r, i in enumerate(ids):
-                if i >= 0:
-                    codes[r, : lengths[r]] = encode_seq(seqs[i])
-            from ..ops.overlap_jax import sketch_many
-
-            mh, mp, ms, mc_d = jax.device_get(
-                sketch_many(
-                    jnp.asarray(codes[None]), jnp.asarray(lengths[None]),
-                    k=p.k, w=p.w,
-                )
+            qd = np.array(
+                [dev.host._dual_rank(names[i]) if (p.no_dual and i >= 0) else 0
+                 for i in ids],
+                np.int32,
             )
-            q0_l, mps_l = mh[0], mp[0] * 2 + ms[0]
-            q1_l = np.zeros((b_loc, 1), np.int32)
-            mc = mc_d[0]
-        mk = lambda sh, x: jax.make_array_from_process_local_data(sh, x)
-        c, a, r, _pr = dev._sharded_fn(
-            dev._idx_tree,
-            mk(data_sh, np.ascontiguousarray(q0_l)),
-            mk(data_sh, np.ascontiguousarray(q1_l)),
-            mk(data_sh, np.ascontiguousarray(mps_l)),
-            mk(data_sh1, lengths),
-            mk(data_sh1, qd),
-            mk(data_sh1, qs),
-            jnp.int32(dev.sharded.mid_occ),
-            jnp.float32(p.chn_pen_gap()),
-        )
-        # my slice of the global outputs (allgather: tiny [B] vectors)
-        from jax.experimental import multihost_utils
-
-        c_g = np.asarray(multihost_utils.process_allgather(c, tiled=True))
-        a_g = np.asarray(multihost_utils.process_allgather(a, tiled=True))
-        r_g = np.asarray(multihost_utils.process_allgather(r, tiled=True))
-        sl = slice(pid * b_loc, (pid + 1) * b_loc)
-        c_l, a_l, r_l = c_g[sl], a_g[sl], r_g[sl]
-        for row, i in enumerate(ids):
-            if i < 0:
-                continue
-            seq_row = seqs[i]
-            if (
-                a_l[row] > A
-                or r_l[row] > dev.window
-                or mc[row] > M
-                or (
-                    (not dev.pb_mode)
-                    and needs_scalar_sketch(encode_seq(seq_row), p.k, p.w, False)
+            qs = np.array(
+                [dev.host._name_to_rid.get(names[i], -1) if i >= 0 else -1
+                 for i in ids],
+                np.int32,
+            )
+            codes = None
+            if dev.pb_mode:
+                q0_l, q1_l, mps_l, mc = dev._pb_planes(
+                    [seqs[i] if i >= 0 else b"" for i in ids], M
                 )
-            ):
-                retry.append(i)
             else:
-                counts[i] = c_l[row]
-                had[i] = c_l[row] > 0
+                codes = np.full((b_loc, L), 4, np.uint8)
+                for r, i in enumerate(ids):
+                    if i >= 0:
+                        codes[r, : lengths[r]] = encode_seq(seqs[i])
+                mh, mp, ms, mc_d = jax.device_get(
+                    sketch_many(
+                        jnp.asarray(codes[None]), jnp.asarray(lengths[None]),
+                        k=p.k, w=p.w,
+                    )
+                )
+                q0_l, mps_l = mh[0], mp[0] * 2 + ms[0]
+                q1_l = np.zeros((b_loc, 1), np.int32)
+                mc = mc_d[0]
+            c, a, r, _pr = dev._sharded_fn_for(A)(
+                dev._idx_tree,
+                mk(data_sh, q0_l),
+                mk(data_sh, q1_l),
+                mk(data_sh, mps_l),
+                mk(data_sh1, lengths),
+                mk(data_sh1, qd),
+                mk(data_sh1, qs),
+                jnp.int32(dev.sharded.mid_occ),
+                jnp.float32(p.chn_pen_gap()),
+            )
+            inflight.append((ids, lengths, codes, mc, A, M, c, a, r))
+
+    for ids, lengths, codes, mc, A, M, c, a, r in inflight:
+        c_l = _local_rows(c, pid, b_loc)
+        a_l = _local_rows(a, pid, b_loc)
+        r_l = _local_rows(r, pid, b_loc)
+        live = ids >= 0
+        needs = dev.triage_flags(live, a_l, A, r_l, mc, M, codes, lengths)
+        retry.extend(ids[needs].tolist())
+        ok = live & ~needs
+        counts[ids[ok]] = c_l[ok]
+        had[ids[ok]] = c_l[ok] > 0
 
     # ---- local exact recompute of flagged rows ----
-    for i, (cn, h) in zip(retry, dev._host_count_many([(names[i], seqs[i]) for i in retry])):
+    for i, (cn, h) in zip(
+        retry, dev._host_count_many([(names[i], seqs[i]) for i in retry])
+    ):
         counts[i], had[i] = cn, h
         fallback += 1
     if host_future is not None:
-        for i, (cn, h) in zip(my_host_rows, host_future.result()):
+        share_set = set(host_share_rows)
+        for i, (cn, h) in zip(host_rows_all, host_future.result()):
             counts[i], had[i] = cn, h
-            fallback += 1
+            if i in share_set:
+                dev.fallback_triggers["host_share"] += 1
+            else:
+                fallback += 1
         pool.shutdown()
 
-    # ---- assemble the global vector on every host ----
-    from jax.experimental import multihost_utils
-
-    s, e = slices[pid]
+    # ---- assemble the global vector on every host (one allgather) ----
     width = max(en - st for st, en in slices)
-    my_counts = np.full(width, -1, np.int32)
-    my_counts[: e - s] = counts[s:e]
-    my_had = np.zeros(width, np.int8)
-    my_had[: e - s] = had[s:e]
-    all_counts = np.asarray(multihost_utils.process_allgather(my_counts))
-    all_had = np.asarray(multihost_utils.process_allgather(my_had))
+    mine = np.zeros((2, width), np.int32)
+    mine[0, : e - s] = counts[s:e]
+    mine[1, : e - s] = had[s:e]
+    packed = np.asarray(multihost_utils.process_allgather(mine))
     for q, (st, en) in enumerate(slices):
-        counts[st:en] = all_counts[q, : en - st]
-        had[st:en] = all_had[q, : en - st].astype(bool)
+        counts[st:en] = packed[q, 0, : en - st]
+        had[st:en] = packed[q, 1, : en - st].astype(bool)
     return BatchCounts(counts, had, fallback)
