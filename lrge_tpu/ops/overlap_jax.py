@@ -339,8 +339,15 @@ def _expand_sort_chain(
     filter_mode="internal",
     idx_tlen=None,
     dp_chunk=1,
+    profile_stage="",
 ):
     """Anchor expansion + (rid,strand,rpos) sort + chain DP + reduce.
+
+    ``profile_stage`` ("expand" | "sort" | "dp") truncates the pipeline
+    right after the named stage, returning checksum-shaped dummies —
+    a debugging/benchmarking knob (tools/stage_probe2.py) so on-chip
+    stage costs can be measured without duplicating the pipeline; keep
+    "" for production.
 
     ``want_extents`` (constant-span presets only) additionally tracks
     each chain's START coordinates, anchor count, and a deep-valley
@@ -474,6 +481,12 @@ def _expand_sort_chain(
         # carry the span through the sort inside the qpos payload
         qpos = (qpos << 8) | span_a
 
+    PM_prof = min(num_anchors, PAIR_CAP) if want_pairs else 1
+    _dummy_pairs = jnp.full((B, PM_prof), -1, jnp.int32)
+    if profile_stage == "expand":
+        chk = jnp.sum(key2 + rpos + qpos, axis=1, dtype=jnp.int32)
+        return chk, n_anchors, jnp.zeros((B,), jnp.int32), _dummy_pairs
+
     # ---- sort by (rid,strand,rpos), stable in seed order ----
     # rid rides inside the key (key2 = rid*2+strand, IMAX when invalid),
     # so it is NOT a separate sort operand; derive it after the sort
@@ -482,6 +495,10 @@ def _expand_sort_chain(
     )
     valid_s = key2_s != IMAX
     rid_s = jnp.where(valid_s, key2_s >> 1, IMAX)
+
+    if profile_stage == "sort":
+        chk = jnp.sum(key2_s + rpos_s + qpos_s, axis=1, dtype=jnp.int32)
+        return chk, n_anchors, jnp.zeros((B,), jnp.int32), _dummy_pairs
 
     # ---- 3. chaining DP ----
     if use_pallas and not with_spans:
@@ -772,6 +789,9 @@ def _expand_sort_chain(
     )
     f = f_steps[:A].T  # [B, A]
     broke = b_steps[:A].T  # [B, A]
+    if profile_stage == "dp":
+        chk = jnp.sum(f + broke, axis=1, dtype=jnp.int32)
+        return chk, n_anchors, jnp.zeros((B,), jnp.int32), _dummy_pairs
     extents = None
     if want_extents:
         extents = dict(
@@ -1373,6 +1393,7 @@ def map_found_core(
     filter_mode="internal",
     idx_tlen=None,
     dp_chunk=1,
+    profile_stage="",
 ):
     fc = jnp.maximum(found, 0)
     if packed_dict_bits:
@@ -1420,6 +1441,7 @@ def map_found_core(
         filter_mode=filter_mode,
         idx_tlen=idx_tlen,
         dp_chunk=dp_chunk,
+        profile_stage=profile_stage,
     )
 
 
@@ -1456,6 +1478,7 @@ def map_found_many_core(
     packed_rid_bits=0,
     packed_dict_bits=0,
     sup_vmap=False,
+    profile_stage="",
 ):
     def real_body(args):
         fo, mp, ql, qd, qs = args
@@ -1469,6 +1492,7 @@ def map_found_many_core(
             pallas_block=pallas_block, pallas_interpret=pallas_interpret,
             with_spans=with_spans, min_cnt=min_cnt, want_pairs=want_pairs,
             packed_rid_bits=packed_rid_bits, packed_dict_bits=packed_dict_bits,
+            profile_stage=profile_stage,
         )
 
     def empty_body(args):
@@ -1504,7 +1528,7 @@ map_found_many = functools.partial(
         "no_dual", "no_diag", "max_chain_skip", "packed_pos",
         "use_pallas", "pallas_block", "pallas_interpret",
         "with_spans", "min_cnt", "want_pairs",
-        "packed_rid_bits", "packed_dict_bits", "sup_vmap",
+        "packed_rid_bits", "packed_dict_bits", "sup_vmap", "profile_stage",
     ),
 )(map_found_many_core)
 
