@@ -224,6 +224,28 @@ class DeviceOverlapEngine:
                 self.device_ok = False
             logger.debug("device engine: %d sub-indexes (shared lookup)", self.n_sub)
 
+    def _self_ranks(self, names) -> np.ndarray:
+        """Query self-ids in NAME-RANK space: the device posting planes
+        carry name ranks (GroupedDeviceIndex/ShardedGroupedIndex), so
+        the no-diag self compare needs the query's rank, not its rid."""
+        rank_of = self.index.name_rank
+        out = np.empty(len(names), dtype=np.int32)
+        for i, nm in enumerate(names):
+            r = self.host._name_to_rid.get(nm, -1)
+            out[i] = int(rank_of[r]) if r >= 0 else -1
+        return out
+
+    def _ranks_to_rids(self, ranks: np.ndarray) -> np.ndarray:
+        """Translate device pair outputs (name ranks) back to rids —
+        the engine's external pair contract stays rid-based."""
+        inv = getattr(self, "_rank_inv_arr", None)
+        if inv is None:
+            rank_of = np.asarray(self.index.name_rank, dtype=np.int64)
+            inv = np.zeros(len(rank_of), dtype=np.int32)
+            inv[rank_of] = np.arange(len(rank_of), dtype=np.int32)
+            self._rank_inv_arr = inv
+        return inv[ranks]
+
     def _pb_planes(self, row_seqs, M):
         """Host-sketch a batch of PacBio reads into device lookup planes.
 
@@ -722,9 +744,7 @@ class DeviceOverlapEngine:
         qdualrank = np.array(
             [self.host._dual_rank(nm) if p.no_dual else 0 for nm in names], dtype=np.int32
         )
-        qselfrid = np.array(
-            [self.host._name_to_rid.get(nm, -1) for nm in names], dtype=np.int32
-        )
+        qselfrid = self._self_ranks(names)
         # partition device rows into length buckets: each bucket gets
         # its own program shapes (L, and anchor capacity scaled with L,
         # so long reads stay on device instead of falling back)
@@ -1005,7 +1025,9 @@ class DeviceOverlapEngine:
             if collect_pairs is not None:
                 ok_pairs = pair_rids[:nb][ok]
                 for qid, pr in zip(ok_ids, ok_pairs):
-                    collect_pairs[qid] = pr[pr >= 0].copy()
+                    # device pair planes carry name ranks; the external
+                    # contract is rid-based
+                    collect_pairs[qid] = self._ranks_to_rids(pr[pr >= 0])
             _now = _time.perf_counter()
             phases[f"collect_L{_L}"] = phases.get(f"collect_L{_L}", 0.0) + (_now - _tb)
             _tb = _now

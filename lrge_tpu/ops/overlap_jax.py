@@ -64,6 +64,31 @@ def _gather1(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _gatherw(table: jnp.ndarray, idx: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Windowed gather: ``[..., w]`` consecutive entries starting at
+    ``idx`` (clipped in-bounds).
+
+    The bucketed-dictionary probe reads ``kmax`` CONSECUTIVE slots per
+    minimizer; fetching them as one sliced gather costs ~one HBM
+    transaction per index instead of ``kmax`` separate random gathers
+    (measured 195 ms -> 8 ms for the kmax=8 probe plane on v5e,
+    tools/stage_probe2.py 2026-08-20 — random gathers run ~14 ns/elem,
+    so consecutive fetches must share their transaction).  Same
+    barriers as :func:`_gather1` to keep the standalone gather kernel.
+    """
+    flat = idx.reshape(-1, 1)
+    out = jax.lax.gather(
+        table,
+        jax.lax.optimization_barrier(flat),
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+        ),
+        slice_sizes=(w,),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+    return jax.lax.optimization_barrier(out).reshape(*idx.shape, w)
+
+
 def mg_log2_jax(x: jnp.ndarray) -> jnp.ndarray:
     """minimap2's fast f32 log2 (bit trick), matching chain.mg_log2."""
     bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
@@ -106,19 +131,15 @@ def _q_occ_drop_narrow(mhash, mid_occ, q_occ_frac):
     )
     pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
 
-    def seg_keep(a, b):
-        av, af = a
-        bv, bf = b
-        return (jnp.where(bf, bv, av), af | bf)
-
-    run_start, _ = jax.lax.associative_scan(
-        seg_keep, (jnp.where(newrun, pos, 0), newrun), axis=1
-    )
+    # run starts broadcast forward / run ends backward with native
+    # cumulative ops (positions are monotone; the unrolled
+    # associative_scan this replaces dominated HLO size)
+    run_start = jax.lax.cummax(jnp.where(newrun, pos, -1), axis=1)
     runend_flag = jnp.concatenate(
         [sh[:, 1:] != sh[:, :-1], jnp.ones((B, 1), dtype=bool)], axis=1
     )
-    run_end, _ = jax.lax.associative_scan(
-        seg_keep, (jnp.where(runend_flag, pos, 0), runend_flag), axis=1, reverse=True
+    run_end = jax.lax.cummin(
+        jnp.where(runend_flag, pos, IMAX), axis=1, reverse=True
     )
     run_cnt = run_end - run_start + 1
     _, cnt_by_slot = jax.lax.sort((sslot, run_cnt), dimension=1, num_keys=1, is_stable=True)
@@ -146,17 +167,10 @@ def _q_occ_drop_wide(qhi, qlo, pad, mid_occ, q_occ_frac):
     newrun = jnp.concatenate([jnp.ones((B, 1), dtype=bool), ~samerun], axis=1)
     pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
 
-    def seg_keep(a, b):
-        av, af = a
-        bv, bf = b
-        return (jnp.where(bf, bv, av), af | bf)
-
-    run_start, _ = jax.lax.associative_scan(
-        seg_keep, (jnp.where(newrun, pos, 0), newrun), axis=1
-    )
+    run_start = jax.lax.cummax(jnp.where(newrun, pos, -1), axis=1)
     runend_flag = jnp.concatenate([~samerun, jnp.ones((B, 1), dtype=bool)], axis=1)
-    run_end, _ = jax.lax.associative_scan(
-        seg_keep, (jnp.where(runend_flag, pos, 0), runend_flag), axis=1, reverse=True
+    run_end = jax.lax.cummin(
+        jnp.where(runend_flag, pos, IMAX), axis=1, reverse=True
     )
     run_cnt = run_end - run_start + 1
     _, cnt_by_slot = jax.lax.sort(
@@ -184,17 +198,22 @@ def _pb_probe(qhi, qlo, uh_hi, uh_lo, boff, *, hash_bits, bucket_bits, bucket_km
     else:
         ub = (qhi << (_PB_SPLIT - shift)) | (qlo >> shift)
     ub = jnp.clip(ub, 0, (1 << bucket_bits) - 1)
-    b0 = _gather1(boff, ub)
-    b1 = _gather1(boff, ub + 1)
+    bo = _gatherw(boff, ub, 2)
+    b0, b1 = bo[..., 0], bo[..., 1]
     U = uh_hi.shape[0]
-    found = jnp.full((B, M), -1, dtype=jnp.int32)
-    for j in range(bucket_kmax):
-        pos = b0 + j
-        ok = pos < b1
-        pc = jnp.minimum(pos, U - 1)
-        hit = ok & (_gather1(uh_hi, pc) == qhi) & (_gather1(uh_lo, pc) == qlo)
-        found = jnp.where(hit, pos, found)
-    return found
+    K = bucket_kmax
+    # windowed probe fetch (see _dict_lookup): one slice per plane
+    cstart = jnp.clip(b0, 0, max(U - K, 0))
+    win_hi = _gatherw(uh_hi, cstart, K)
+    win_lo = _gatherw(uh_lo, cstart, K)
+    pos = cstart[..., None] + jnp.arange(K, dtype=jnp.int32)
+    hit = (
+        (pos >= b0[..., None])
+        & (pos < b1[..., None])
+        & (win_hi == qhi[..., None])
+        & (win_lo == qlo[..., None])
+    )
+    return jnp.max(jnp.where(hit, pos, -1), axis=-1)
 
 
 def map_batch_core(
@@ -340,8 +359,15 @@ def _expand_sort_chain(
     idx_tlen=None,
     dp_chunk=1,
     profile_stage="",
+    rank_postings=False,
 ):
     """Anchor expansion + (rid,strand,rpos) sort + chain DP + reduce.
+
+    ``rank_postings``: the posting plane carries name RANKS instead of
+    rids (GroupedDeviceIndex/ShardedGroupedIndex layouts) — the
+    MM_F_NO_DUAL gate then compares the plane value directly and the
+    per-anchor rank gather disappears; callers must pass ``qselfrid``
+    in rank space and translate pair outputs back.
 
     ``profile_stage`` ("expand" | "sort" | "dp") truncates the pipeline
     right after the named stage, returning checksum-shaped dummies —
@@ -395,35 +421,31 @@ def _expand_sort_chain(
     tgt = jax.lax.optimization_barrier(jnp.where(live, prev_cum, 0))
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]
     adj = start - cum + occ
-    MIN32 = np.iinfo(np.int32).min
     # barriers around the scatter operands/results keep XLA from fusing
     # the index arithmetic into the scatter kernel (same scalarisation
     # hazard as _gather1)
     _bar = jax.lax.optimization_barrier
-    sc_set = _bar(jnp.zeros((B, A), dtype=bool).at[rows, tgt].max(live))
-    # collision-free: only lane `tgt` of a live minimizer is touched
-    # (non-live lanes scatter MIN32 into slot 0, which max() discards
-    # against the MIN32 initial value and sc_set marks unset anyway)
-    sc_adj = _bar(
-        jnp.full((B, A), MIN32, jnp.int32).at[rows, tgt].max(
-            _bar(jnp.where(live, adj, MIN32))
+    # ONE scatter drops each live minimizer's id (+1) at its first
+    # anchor slot (collision-free: live prev_cums are strictly
+    # increasing; non-live lanes scatter 0 into slot 0, discarded by
+    # max).  A native cummax then fills each [prev_cum, cum) run with
+    # its owner id — ids increase along the axis, so the running max
+    # at slot a is exactly the last run start at or before a — and the
+    # per-minimizer attributes follow with two flat gathers from the
+    # [B, M] planes.  (Replaces a 3-scatter + unrolled
+    # associative_scan fill-forward: far smaller HLO, same values.)
+    m_ids = jnp.broadcast_to(
+        jnp.arange(M, dtype=jnp.int32)[None, :], (B, M)
+    )
+    sc_m = _bar(
+        jnp.zeros((B, A), jnp.int32).at[rows, tgt].max(
+            _bar(jnp.where(live, m_ids + 1, 0))
         )
     )
-    sc_mps = _bar(
-        jnp.full((B, A), MIN32, jnp.int32).at[rows, tgt].max(
-            _bar(jnp.where(live, mps, MIN32))
-        )
-    )
-
-    def ffill(a, b):
-        (av, am), (bv, bm) = a, b
-        return (jnp.where(bm, bv, av), am | bm)
-
-    (adj_f, _), (mps_f, _) = jax.lax.associative_scan(
-        lambda x, y: (ffill(x[0], y[0]), ffill(x[1], y[1])),
-        ((sc_adj, sc_set), (sc_mps, sc_set)),
-        axis=1,
-    )
+    m_f = jnp.maximum(jax.lax.cummax(sc_m, axis=1) - 1, 0)  # [B, A] owner
+    flat_idx = rows * M + m_f
+    adj_f = _gather1(adj.reshape(-1), flat_idx)
+    mps_f = _gather1(mps.reshape(-1), flat_idx)
     valid = slots[None, :] < jnp.minimum(total, A)[:, None]
     p_idx = slots[None, :] + adj_f
     p_idx = jnp.clip(p_idx, 0, max(N - 1, 0))
@@ -461,8 +483,12 @@ def _expand_sort_chain(
     # ---- masks (MM_F_NO_DUAL / no-diag, aligner.rs:89-103) ----
     drop = jnp.zeros((B, A), dtype=bool)
     if no_dual:
-        rank = _gather1(idx_rank, jnp.clip(rid, 0, idx_rank.shape[0] - 1))
-        drop = drop | (valid & (rank < qdualrank[:, None]))
+        if rank_postings:
+            # the plane value IS the name rank: no gather
+            drop = drop | (valid & (rid < qdualrank[:, None]))
+        else:
+            rank = _gather1(idx_rank, jnp.clip(rid, 0, idx_rank.shape[0] - 1))
+            drop = drop | (valid & (rank < qdualrank[:, None]))
     if no_diag:
         drop = drop | (
             valid
@@ -806,6 +832,38 @@ def _expand_sort_chain(
     )
 
 
+def _seg_best(f, boundary, A, B, want_slot):
+    """Segmented best-score (and argmax slot) over rid runs, scan-free.
+
+    A monotone run id packed above the (clipped) score turns the
+    segmented max into ONE native ``cummax`` — read at run ends, every
+    prefix max is the run's max (the unrolled ``associative_scan`` this
+    replaces dominated both HLO size and reduce runtime).  With
+    ``want_slot``, positions equal to their running max are "records";
+    a second run-id-packed cummax over record slots yields, at each run
+    end, the LARGEST slot among max-score ties (the backtrack peel
+    order).  Scores clip at 2^15-2 — far above any reachable chain
+    score (<= padded read length + max span < 17k)."""
+    FB = 15
+    assert A <= (1 << FB), "packed segmented reduce needs A <= 32768"
+    runid = jnp.cumsum(boundary.astype(jnp.int32), axis=1)
+    fq = jnp.clip(f, -1, (1 << FB) - 2) + 1  # NEG/invalid -> 0
+    pk = (runid << FB) | fq
+    seg = jax.lax.cummax(pk, axis=1)
+    best_f = (seg & ((1 << FB) - 1)) - 1
+    if not want_slot:
+        return best_f, None
+    SB = 14
+    assert A <= (1 << SB), "packed (f,slot) reduction needs A <= 16384"
+    slots_i = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32), (B, A))
+    # every run's first element is a record (strictly larger runid), so
+    # the rec cummax never leaks across runs
+    rec = jax.lax.cummax(
+        jnp.where(pk == seg, (runid << SB) | slots_i, -1), axis=1
+    )
+    return best_f, rec & ((1 << SB) - 1)
+
+
 def _reduce_counts(
     f, broke, rid_s, key2_s, valid_s, n_anchors, B, A, W, min_score,
     cnt=None, min_cnt=3, want_pairs=True, extents=None,
@@ -814,35 +872,24 @@ def _reduce_counts(
     boundary = jnp.concatenate(
         [jnp.ones((B, 1), dtype=bool), rid_s[:, 1:] != rid_s[:, :-1]], axis=1
     )
-
-    def seg_op(a, b):
-        av, af = a
-        bv, bf = b
-        return (jnp.where(bf, bv, jnp.maximum(av, bv)), af | bf)
-
     run_end = jnp.concatenate(
         [rid_s[:, 1:] != rid_s[:, :-1], jnp.ones((B, 1), dtype=bool)], axis=1
     )
     suspicious = None
     if cnt is None:
-        seg_f, _ = jax.lax.associative_scan(seg_op, (f, boundary), axis=1)
+        seg_f, _ = _seg_best(f, boundary, A, B, want_slot=False)
         passing = run_end & valid_s & (seg_f >= min_score)
     else:
         # HPC presets: a chain must also have >= min_cnt anchors.  The
         # surviving-intact chain of a run is the one ending at the
         # best-f anchor (largest slot among f ties, matching the
-        # backtrack peel order), so reduce a packed (f, slot) key and
+        # backtrack peel order), so reduce the packed (f, slot) key and
         # read that anchor's chain count.  Runs whose best chain passes
         # the score but fails min_cnt are flagged: a lower secondary
         # chain might still pass after truncation, which only the exact
         # host path can decide (vanishingly rare: needs a >=100-base
         # span from <3 anchors).
-        assert A <= (1 << 14), "packed (f,slot) reduction needs A <= 16384"
-        slots_i = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32), (B, A))
-        packed = jnp.where(valid_s & (f >= 0), ((f + 1) << 14) | slots_i, 0)
-        seg_p, _ = jax.lax.associative_scan(seg_op, (packed, boundary), axis=1)
-        best_f = (seg_p >> 14) - 1
-        best_slot = seg_p & ((1 << 14) - 1)
+        best_f, best_slot = _seg_best(f, boundary, A, B, want_slot=True)
         cnt_best = jnp.take_along_axis(cnt, best_slot, axis=1)
         score_ok = run_end & valid_s & (best_f >= min_score)
         passing = score_ok & (cnt_best >= min_cnt)
@@ -856,12 +903,8 @@ def _reduce_counts(
         # best chain holds a valley the backtrack would trim — only the
         # exact host path can decide those.
         assert cnt is None, "-F extents are constant-span only"
-        assert A <= (1 << 14)
-        slots_i = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32), (B, A))
-        packed = jnp.where(valid_s & (f >= 0), ((f + 1) << 14) | slots_i, 0)
-        seg_p, _ = jax.lax.associative_scan(seg_op, (packed, boundary), axis=1)
-        best_f = (seg_p >> 14) - 1
-        best_slot = jax.lax.optimization_barrier(seg_p & ((1 << 14) - 1))
+        best_f, best_slot = _seg_best(f, boundary, A, B, want_slot=True)
+        best_slot = jax.lax.optimization_barrier(best_slot)
         score_ok = run_end & valid_s & (best_f >= min_score)
         _ta = lambda x: jax.lax.optimization_barrier(
             jnp.take_along_axis(x, best_slot, axis=1)
@@ -899,11 +942,11 @@ def _reduce_counts(
                 maplen.astype(jnp.float32) * jnp.float32(extents["ratio"])
             ).astype(jnp.int32)
         passing = score_ok & ~dropped
-        # rid-run anchor totals for the secondary-chain bound
+        # rid-run anchor totals for the secondary-chain bound: run
+        # starts broadcast forward with one native cummax (indices are
+        # monotone, so no packing is even needed)
         idxs0 = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32), (B, A))
-        rstart, _ = jax.lax.associative_scan(
-            seg_op, (jnp.where(boundary, idxs0, -1), boundary), axis=1
-        )
+        rstart = jax.lax.cummax(jnp.where(boundary, idxs0, -1), axis=1)
         run_len = idxs0 - rstart + 1
         sec_possible = (run_len - cnt_best) * span >= min_score
         valley = (rmf_best & 1) == 1
@@ -915,9 +958,7 @@ def _reduce_counts(
         # the reference's no_mapping_count counts queries with no
         # mappings AT ALL (pre-filter, `twoset.rs:303-309`); ride that
         # bit above the filtered count (count <= A < 2^24)
-        had_any = jnp.any(
-            run_end & valid_s & (((seg_p >> 14) - 1) >= min_score), axis=1
-        )
+        had_any = jnp.any(run_end & valid_s & (best_f >= min_score), axis=1)
         counts = counts | (had_any.astype(jnp.int32) << 24)
 
     # passing-target id list per query (for symmetric/pair counting):
@@ -945,8 +986,7 @@ def _reduce_counts(
         [jnp.ones((B, 1), dtype=bool), key2_s[:, 1:] != key2_s[:, :-1]], axis=1
     )
     idxs = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32), (B, A))
-    start_candidates = jnp.where(boundary2, idxs, -1)
-    run_start, _ = jax.lax.associative_scan(seg_op, (start_candidates, boundary2), axis=1)
+    run_start = jax.lax.cummax(jnp.where(boundary2, idxs, -1), axis=1)
     run_depth = jnp.where(valid_s, idxs - run_start, 0)  # predecessors in run
     missed = valid_s & (run_depth > W) & ~broke
     inexact = jnp.any(missed, axis=1)
@@ -1082,6 +1122,15 @@ class DeviceIndex:
             bucket_bits=bucket_bits,
             bucket_kmax=kmax,
         )
+
+
+def _rank_order(index) -> np.ndarray:
+    """Target lengths reordered into name-rank space (postings carry
+    ranks — see GroupedDeviceIndex.from_host)."""
+    rank_of = index.name_rank.astype(np.int64)
+    out = np.zeros(len(rank_of), dtype=np.int32)
+    out[rank_of] = np.asarray(index.lengths, dtype=np.int32)
+    return out
 
 
 def _pruned_postings(index):
@@ -1246,7 +1295,15 @@ map_many = functools.partial(
 
 
 def _dict_lookup(mhash, uhash, boff, *, k, bucket_bits, bucket_kmax):
-    """Bucketed dictionary probe: unique-hash slot per minimizer (-1 miss)."""
+    """Bucketed dictionary probe: unique-hash slot per minimizer (-1 miss).
+
+    TWO windowed gathers total: one [.., 2] slice fetches both bucket
+    offsets and one [.., kmax] slice fetches the whole probe window —
+    bucket slots are consecutive, and ``bucket_kmax`` bounds every
+    bucket, so a window starting at ``min(b0, U-kmax)`` always covers
+    ``[b0, b1)`` and the fetch costs ~one HBM transaction per
+    minimizer instead of ``kmax`` (195 ms -> ~8 ms per 1024-query
+    dispatch on v5e)."""
     B, M = mhash.shape
     qk = jax.lax.bitcast_convert_type(mhash ^ jnp.uint32(0x80000000), jnp.int32)
     hash_bits = 2 * k
@@ -1254,16 +1311,16 @@ def _dict_lookup(mhash, uhash, boff, *, k, bucket_bits, bucket_kmax):
     ub = jnp.minimum(mhash >> (hash_bits - bucket_bits), jnp.uint32(nb - 1)).astype(
         jnp.int32
     )
-    b0 = _gather1(boff, ub)
-    b1 = _gather1(boff, ub + 1)
+    bo = _gatherw(boff, ub, 2)
+    b0, b1 = bo[..., 0], bo[..., 1]
     U = uhash.shape[0]
-    found = jnp.full((B, M), -1, dtype=jnp.int32)
-    for j in range(bucket_kmax):
-        pos = b0 + j
-        ok = pos < b1
-        val = _gather1(uhash, jnp.minimum(pos, U - 1))
-        found = jnp.where(ok & (val == qk), pos, found)
-    return found
+    K = bucket_kmax
+    cstart = jnp.clip(b0, 0, max(U - K, 0))
+    win = _gatherw(uhash, cstart, K)  # [B, M, K]
+    pos = cstart[..., None] + jnp.arange(K, dtype=jnp.int32)
+    hit = (pos >= b0[..., None]) & (pos < b1[..., None]) & (win == qk[..., None])
+    # unique hashes are distinct: at most one probe slot hits
+    return jnp.max(jnp.where(hit, pos, -1), axis=-1)
 
 
 def sketch_lookup_core(
@@ -1299,9 +1356,8 @@ def sketch_lookup_core(
         mhash, uhash, boff, k=k, bucket_bits=bucket_bits, bucket_kmax=bucket_kmax
     )
     fc = jnp.maximum(found, 0)
-    occg = jnp.where(
-        found >= 0, _gather1(uoff, fc + 1) - _gather1(uoff, fc), 0
-    ).astype(jnp.int32)
+    uo = _gatherw(uoff, fc, 2)  # consecutive offsets: one windowed fetch
+    occg = jnp.where(found >= 0, uo[..., 1] - uo[..., 0], 0).astype(jnp.int32)
     gate = (found >= 0) & (occg > 0) & (occg <= mid_occ)
     gate = gate & (mhash != jnp.uint32(0xFFFFFFFF))
 
@@ -1394,6 +1450,7 @@ def map_found_core(
     idx_tlen=None,
     dp_chunk=1,
     profile_stage="",
+    rank_postings=False,
 ):
     fc = jnp.maximum(found, 0)
     if packed_dict_bits:
@@ -1442,6 +1499,7 @@ def map_found_core(
         idx_tlen=idx_tlen,
         dp_chunk=dp_chunk,
         profile_stage=profile_stage,
+        rank_postings=rank_postings,
     )
 
 
@@ -1479,6 +1537,7 @@ def map_found_many_core(
     packed_dict_bits=0,
     sup_vmap=False,
     profile_stage="",
+    rank_postings=True,
 ):
     def real_body(args):
         fo, mp, ql, qd, qs = args
@@ -1492,7 +1551,7 @@ def map_found_many_core(
             pallas_block=pallas_block, pallas_interpret=pallas_interpret,
             with_spans=with_spans, min_cnt=min_cnt, want_pairs=want_pairs,
             packed_rid_bits=packed_rid_bits, packed_dict_bits=packed_dict_bits,
-            profile_stage=profile_stage,
+            profile_stage=profile_stage, rank_postings=rank_postings,
         )
 
     def empty_body(args):
@@ -1529,6 +1588,7 @@ map_found_many = functools.partial(
         "use_pallas", "pallas_block", "pallas_interpret",
         "with_spans", "min_cnt", "want_pairs",
         "packed_rid_bits", "packed_dict_bits", "sup_vmap", "profile_stage",
+        "rank_postings",
     ),
 )(map_found_many_core)
 
@@ -1646,7 +1706,7 @@ def sketch_map_many_core(
             want_pairs=want_pairs, packed_rid_bits=packed_rid_bits,
             packed_dict_bits=packed_dict_bits, want_extents=want_extents,
             overhang_ratio=overhang_ratio, filter_mode=filter_mode,
-            idx_tlen=idx_tlen, dp_chunk=dp_chunk,
+            idx_tlen=idx_tlen, dp_chunk=dp_chunk, rank_postings=True,
         )
         return jnp.stack([counts, n_anchors, max_run], axis=-1), pairs
 
@@ -1736,7 +1796,15 @@ class GroupedDeviceIndex:
         run_u = np.repeat(np.arange(U, dtype=np.int64), np.diff(uoff))
         # group by sub within each key run, preserving (rid, pos) order
         order = np.lexsort((sub, run_u))
-        rid_g = rid[order].astype(np.int32)
+        # postings carry the target's NAME RANK, not its rid: the
+        # MM_F_NO_DUAL gate compares ranks, so baking the (bijective)
+        # rank into the plane deletes the per-anchor [B, A] rank gather
+        # (~60 ms per 1024-query dispatch on v5e).  Counts/runs are
+        # unaffected (a permutation of ids preserves run partitioning);
+        # the engine translates pair outputs back rank->rid, and tlen
+        # below is reordered into rank space for the -F extent path.
+        rank_of = index.name_rank.astype(np.int32)
+        rid_g = rank_of[rid[order]]
         pos_g = ((pos[order].astype(np.int32)) << 1) | strand[order].astype(np.int32)
         sub_g = sub[order]
         # per-(unique, sub) cumulative offsets
@@ -1824,7 +1892,7 @@ class GroupedDeviceIndex:
             rps=rps,
             packed_dict_bits=packed_dict_bits,
             loocc=loocc,
-            tlen=jnp.asarray(np.asarray(index.lengths, dtype=np.int32)),
+            tlen=jnp.asarray(_rank_order(index)),
         )
 
 

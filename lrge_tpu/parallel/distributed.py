@@ -208,10 +208,8 @@ def multihost_count_batch(dev, names: list, seqs: list):
                  for i in ids],
                 np.int32,
             )
-            qs = np.array(
-                [dev.host._name_to_rid.get(names[i], -1) if i >= 0 else -1
-                 for i in ids],
-                np.int32,
+            qs = dev._self_ranks(
+                [names[i] if i >= 0 else b"\x00__pad" for i in ids]
             )
             codes = None
             if dev.pb_mode:

@@ -110,10 +110,13 @@ class ShardedGroupedIndex:
         per_shard = []
         max_n = 1
         max_u = 1
+        rank_of = index.name_rank.astype(np.int32)
         for s in range(S):
             sel = np.flatnonzero(shard_of == s)
             skeys = pkeys[sel]  # sorted (global order preserved)
-            srid = prid[sel].astype(np.int32)
+            # postings carry name RANKS (see GroupedDeviceIndex) — the
+            # shard partition stays keyed on the original rid
+            srid = rank_of[prid[sel]]
             spos = (ppos[sel].astype(np.int32) << 1) | pstrand[sel].astype(np.int32)
             if len(skeys):
                 ustart = np.flatnonzero(
@@ -321,6 +324,7 @@ def sharded_count_fn(
                 packed_pos=True, use_pallas=False, pallas_block=8,
                 pallas_interpret=False, with_spans=wide, min_cnt=min_cnt,
                 want_pairs=want_pairs, packed_rid_bits=packed_rid_bits,
+                rank_postings=True,
             )
             counts = counts + c
             na = jnp.maximum(na, a)
