@@ -56,7 +56,7 @@ def main():
     err = float(os.environ.get("BENCH_ERR", 0.05))
 
     from lrge_tpu.device_engine import DeviceOverlapEngine
-    from lrge_tpu.utils.jaxcache import enable_cache
+    from lrge_tpu.utils.jaxcache import cache_stats, enable_cache
 
     enable_cache()
     from lrge_tpu.estimate import median, per_read_estimate_batch
@@ -102,35 +102,62 @@ def main():
     t_warm = time.perf_counter() - t_w
     print(f"[bench] warmup/compile: {t_warm:.1f}s", file=sys.stderr)
 
-    # throughput = best of BENCH_REPS steady-state passes: the remote
-    # relay's per-dispatch latency varies by a factor of ~1.5x with
-    # unrelated load, and the metric is the pipeline's rate, not the
-    # relay's worst hour
+    # throughput = best of BENCH_REPS steady-state passes (the remote
+    # relay's per-dispatch latency varies ~1.5x with unrelated load,
+    # and the metric is the pipeline's rate, not the relay's worst
+    # hour) — but ALL pass times and the median are reported alongside,
+    # so a round-over-round regression is attributable to code vs relay
+    # weather from the JSON alone.
     reps = int(os.environ.get("BENCH_REPS", 3))
 
-    def measure(**kw):
-        best_t, best_res = None, None
-        for _ in range(reps):
+    def measure(discard_first=False, **kw):
+        times, best_res = [], None
+        for i in range(reps + (1 if discard_first else 0)):
             t1 = time.perf_counter()
             r = engine.count_batch(qnames, queries, **kw)
             dt = time.perf_counter() - t1
-            if best_t is None or dt < best_t:
-                best_t, best_res = dt, r
-        return best_t, best_res
+            if discard_first and i == 0:
+                continue  # compile pass
+            if not times or dt < min(times):
+                best_res = r
+            times.append(dt)
+        return times, best_res
 
     # device-only throughput first (host-share disabled): the chip must
     # carry >= 5x baseline on its own (round-3 target >= 3000 q/s)
     os.environ["LRGE_HOST_SHARE"] = "0"
-    t_dev, res_dev = measure()
+    dev_times, res_dev = measure()
+    t_dev = min(dev_times)
     dev_qps = n_queries / t_dev
     print(
         f"[bench] device-only map: {t_dev:.2f}s ({dev_qps:.0f} q/s), "
-        f"fallback={res_dev.fallback_rows}",
+        f"median {np.median(dev_times):.2f}s, fallback={res_dev.fallback_rows}",
         file=sys.stderr,
     )
+
+    # fused-vs-unfused A/B (device-only): decides "code got slower" vs
+    # "relay was slow" — the unfused split dispatches share none of the
+    # fused program, so a relay slowdown moves both while a fused-path
+    # regression moves only one.  First unfused pass compiles and is
+    # discarded.  BENCH_AB=0 skips (saves its remote compiles).
+    ab_times = []
+    if os.environ.get("BENCH_AB", "1") == "1":
+        os.environ["LRGE_NO_FUSED"] = "1"
+        try:
+            ab_times, res_ab = measure(discard_first=True)
+        finally:
+            del os.environ["LRGE_NO_FUSED"]
+        if not np.array_equal(res_ab.counts, res_dev.counts):
+            raise SystemExit("[bench] FATAL: unfused counts != fused counts")
+        print(
+            f"[bench] unfused A/B: best {min(ab_times):.2f}s "
+            f"({n_queries/min(ab_times):.0f} q/s), median {np.median(ab_times):.2f}s",
+            file=sys.stderr,
+        )
     del os.environ["LRGE_HOST_SHARE"]
 
-    t_map, res = measure()
+    map_times, res = measure()
+    t_map = min(map_times)
     qps = n_queries / t_map
     # wall to first result: index + compile + one mapping pass (the
     # extra best-of passes are measurement, not pipeline work)
@@ -191,6 +218,21 @@ def main():
                     # chip-only throughput (LRGE_HOST_SHARE=0): the
                     # heterogeneous host-share split stacks on top
                     "device_only_qps": round(dev_qps, 1),
+                    # per-pass honesty: best is the headline, the
+                    # median and raw passes expose relay variance
+                    "map_s_passes": [round(x, 3) for x in map_times],
+                    "map_s_median": round(float(np.median(map_times)), 3),
+                    "device_only_passes": [round(x, 3) for x in dev_times],
+                    "device_only_qps_median": round(
+                        n_queries / float(np.median(dev_times)), 1
+                    ),
+                    # fused-vs-unfused A/B (same chip, split dispatches):
+                    # a relay slowdown moves both paths, a fused-path
+                    # regression moves only one
+                    "ab_unfused_passes": [round(x, 3) for x in ab_times],
+                    "ab_unfused_qps": (
+                        round(n_queries / min(ab_times), 1) if ab_times else None
+                    ),
                     "host_fallback_rows": int(res.fallback_rows),
                     # heterogeneous split: rows deliberately counted by the
                     # native host kernel CONCURRENTLY with device execution
@@ -198,6 +240,8 @@ def main():
                     "host_share_rows": int(
                         engine.fallback_triggers.get("host_share", 0)
                     ),
+                    # persistent-cache effectiveness during warmup
+                    "compile_cache": cache_stats(),
                 },
             }
         )

@@ -378,6 +378,14 @@ class DeviceOverlapEngine:
         ) as ex:
             return list(ex.map(one, items))
 
+    def _fused_disabled(self) -> bool:
+        """LRGE_NO_FUSED=1 forces the split sketch+lookup / map
+        dispatches instead of the single fused program — the bench's
+        fused-vs-unfused A/B knob (read per call; env-togglable)."""
+        import os as _os
+
+        return _os.environ.get("LRGE_NO_FUSED") == "1"
+
     def supports_device_filter(self) -> bool:
         """Whether the -F overhang filter can run on device: the fused
         single-sub ONT program with 16-bit-packable coordinates."""
@@ -389,6 +397,7 @@ class DeviceOverlapEngine:
             and self.gdev.n_sub == 1
             and not self.use_pallas
             and not self.sup_vmap
+            and not self._fused_disabled()
             and int(np.max(self.index.lengths)) < (1 << 16)
             and self.length_buckets[-1] + self.params.k < (1 << 16)
         )
@@ -823,6 +832,7 @@ class DeviceOverlapEngine:
                     and gd.n_sub == 1
                     and not self.use_pallas
                     and not self.sup_vmap
+                    and not self._fused_disabled()
                 ):
                     # single-sub ONT fast path: the WHOLE pipeline in one
                     # program (each extra dispatch costs ~25-30 ms of
