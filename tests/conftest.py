@@ -24,3 +24,35 @@ if not os.environ.get("LRGE_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+import time as _time
+
+_SESSION_T0 = _time.time()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """LRGE_TEST_ARTIFACT=<path>: write an auditable run summary
+    (pass/fail counts, duration, collected) so headline test claims in
+    VERDICT/round notes have a committed artifact behind them."""
+    path = os.environ.get("LRGE_TEST_ARTIFACT")
+    if not path:
+        return
+    import json
+    import time
+
+    tr = session.config.pluginmanager.get_plugin("terminalreporter")
+    stats = {k: len(v) for k, v in tr.stats.items() if k}
+    dur = time.time() - _SESSION_T0
+    with open(path, "w") as fh:
+        json.dump(
+            {
+                "exitstatus": int(exitstatus),
+                "collected": int(session.testscollected),
+                "stats": stats,
+                "duration_s": round(dur, 1),
+            },
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
