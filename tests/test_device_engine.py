@@ -446,3 +446,62 @@ def test_device_inverse_filter_matches_host(tmp_path, monkeypatch):
     est_host, nm_host = sh.generate_estimates()
     assert nm_dev == nm_host
     np.testing.assert_array_equal(np.asarray(est_dev), np.asarray(est_host))
+
+
+class TestWindowedProbe:
+    """The windowed dictionary probe must match a reference linear probe
+    bit-for-bit, including buckets at the very END of the unique-hash
+    table where the fetch window clamps to [U-kmax, U)."""
+
+    def test_dict_lookup_matches_linear_probe(self):
+        import jax.numpy as jnp
+
+        from lrge_tpu.ops.overlap_jax import _dict_lookup
+
+        rng = np.random.default_rng(0)
+        k, bits, kmax = 15, 6, 8
+        hash_bits = 2 * k
+        nb = 1 << bits
+        # uniques sorted by hash; engineered so the LAST bucket holds
+        # several keys (window clamp exercised) and one bucket overflows
+        # nothing (kmax is the true max occupancy)
+        uh = np.sort(
+            rng.choice(np.uint32(1 << 30), size=200, replace=False).astype(np.uint64)
+        )
+        # force a run of keys into the top bucket
+        top = (np.uint64(nb - 1) << np.uint64(hash_bits - bits))
+        uh[-5:] = top + np.arange(5).astype(np.uint64)
+        uh = np.sort(uh)
+        ub = (uh >> np.uint64(hash_bits - bits)).astype(np.int64)
+        boff = np.zeros(nb + 1, np.int32)
+        np.add.at(boff, ub + 1, 1)
+        np.cumsum(boff, out=boff)
+        uhash_t = (uh.astype(np.uint32) ^ np.uint32(0x80000000)).view(np.int32)
+
+        # queries: every real key (hits, incl. the clamped tail) plus misses
+        q = np.concatenate(
+            [
+                uh.astype(np.uint32),
+                rng.choice(1 << 30, 64).astype(np.uint32),
+            ]
+        )
+        rng.shuffle(q)
+        q = q.reshape(4, -1)
+
+        got = np.asarray(
+            _dict_lookup(
+                jnp.asarray(q), jnp.asarray(uhash_t), jnp.asarray(boff),
+                k=k, bucket_bits=bits, bucket_kmax=kmax,
+            )
+        )
+
+        # reference linear probe
+        want = np.full(q.shape, -1, np.int32)
+        qk = (q ^ np.uint32(0x80000000)).view(np.int32)
+        ubq = np.minimum(q >> np.uint32(hash_bits - bits), np.uint32(nb - 1)).astype(int)
+        for i in range(q.shape[0]):
+            for j in range(q.shape[1]):
+                for p in range(boff[ubq[i, j]], boff[ubq[i, j] + 1]):
+                    if uhash_t[p] == qk[i, j]:
+                        want[i, j] = p
+        assert np.array_equal(got, want)
