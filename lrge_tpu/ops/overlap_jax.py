@@ -1927,9 +1927,8 @@ def pb_lookup_core(
         hash_bits=hash_bits, bucket_bits=bucket_bits, bucket_kmax=bucket_kmax,
     )
     fc = jnp.maximum(found, 0)
-    occg = jnp.where(
-        found >= 0, _gather1(uoff, fc + 1) - _gather1(uoff, fc), 0
-    ).astype(jnp.int32)
+    uo = _gatherw(uoff, fc, 2)  # consecutive offsets: one windowed fetch
+    occg = jnp.where(found >= 0, uo[..., 1] - uo[..., 0], 0).astype(jnp.int32)
     gate = (found >= 0) & ~pad & (occg > 0) & (occg <= mid_occ)
 
     if q_occ_frac > 0:
