@@ -54,6 +54,17 @@ class BatchCounts:
     fallback_rows: int  # rows recomputed on host
 
 
+def strategy_engine(index: TargetIndex, **kw) -> "DeviceOverlapEngine":
+    """Engine for a NON-lockstep strategy path (ava, --use-min-ref,
+    -F): under a multi-process launch it must not shard over the global
+    mesh (its schedule is not lockstep, so collective programs would
+    deadlock or fetch non-addressable arrays) — build over this
+    process's devices instead and run replicated (rank 0 prints)."""
+    from .parallel.distributed import is_multihost
+
+    return DeviceOverlapEngine(index, local_only=is_multihost(), **kw)
+
+
 class DeviceOverlapEngine:
     def __init__(
         self,
@@ -64,7 +75,15 @@ class DeviceOverlapEngine:
         window: int = 32,
         length_buckets: tuple = LENGTH_BUCKETS,
         super_batch: int = 8,
+        local_only: bool = False,
     ):
+        """``local_only``: build the (possibly sharded) device index
+        over THIS PROCESS'S devices only.  Under a multi-process launch
+        the global-mesh programs are collective — every process must
+        enter them in lockstep — so strategies whose schedule is not
+        lockstep-sharded (ava, --use-min-ref, -F) run replicated on a
+        local mesh instead: identical deterministic inputs everywhere,
+        rank 0 prints (see docs/SCALING.md)."""
         import os
 
         # env knobs for tuning program shapes without code changes
@@ -136,7 +155,9 @@ class DeviceOverlapEngine:
 
             import jax
 
-            n_dev = int(os.environ.get("LRGE_SHARDS", "0")) or len(jax.devices())
+            devs = jax.local_devices() if local_only else jax.devices()
+            n_dev = int(os.environ.get("LRGE_SHARDS", "0")) or len(devs)
+            n_dev = min(n_dev, len(devs))
             if n_dev > 1:
                 # multi-chip: shard the target index across devices
                 # (grouped dictionary + packed planes per shard), ride
@@ -153,12 +174,17 @@ class DeviceOverlapEngine:
                     import jax as _jax
 
                     # multi-host: data axis spans processes so query
-                    # I/O shards per host; single-process: flat index
-                    n_data = _jax.process_count() if _jax.process_count() > 1 else 1
+                    # I/O shards per host; single-process / local-only
+                    # replicated engines: flat index
+                    n_data = (
+                        _jax.process_count()
+                        if _jax.process_count() > 1 and not local_only
+                        else 1
+                    )
                 sgi = ShardedGroupedIndex.from_host(index, n_dev)
                 if sgi is not None:
                     self.sharded = sgi
-                    self._mesh = make_mesh(n_data, n_dev // n_data)
+                    self._mesh = make_mesh(n_data, n_dev // n_data, devices=devs)
                     self._idx_tree = sgi.device_put(self._mesh)
                     p = self.params
                     # per-bucket programs: anchor capacity scales with

@@ -116,9 +116,9 @@ class AvaStrategy(Estimate):
             # ava -F: the fused extent reduce applies is_internal per
             # passing target on device (`ava.rs:283-287`); undecidable
             # rows recompute on the host
-            from ..device_engine import DeviceOverlapEngine
+            from ..device_engine import strategy_engine
 
-            dev = DeviceOverlapEngine(engine.index)
+            dev = strategy_engine(engine.index)
             if dev.supports_device_filter():
                 return self._count_device(
                     engine, reads, sum_len, read_lengths, dev=dev,
@@ -201,7 +201,7 @@ class AvaStrategy(Estimate):
         targets (the -F filter applied in the fused reduce,
         `ava.rs:283-287`).  PAF side-output only under -C/-D.
         """
-        from ..device_engine import DeviceOverlapEngine
+        from ..device_engine import strategy_engine
         from ..estimate import per_read_estimate
 
         logger.info(
@@ -211,7 +211,7 @@ class AvaStrategy(Estimate):
             else "overlaps.paf not written; pass -C/-D to produce it",
         )
         if dev is None:
-            dev = DeviceOverlapEngine(engine.index)
+            dev = strategy_engine(engine.index)
         names = [n for n, _ in reads]
         seqs = [s for _, s in reads]
         dev.warmup(

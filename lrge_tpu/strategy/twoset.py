@@ -208,9 +208,9 @@ class TwoSetStrategy(Estimate):
             # applies is_internal in the reduce (undecidable rows fall
             # back to the exact host filter); unsupported configurations
             # (HPC preset, multi-chip, wide coordinates) use the host
-            from ..device_engine import DeviceOverlapEngine
+            from ..device_engine import strategy_engine
 
-            dev = DeviceOverlapEngine(engine.index)
+            dev = strategy_engine(engine.index)
             if dev.supports_device_filter():
                 return self._align_reads_device_filtered(
                     dev, queries, avg_target_len
@@ -255,6 +255,9 @@ class TwoSetStrategy(Estimate):
 
     def _align_reads_device(self, engine, queries, avg_target_len):
         """Device counting path (PAF side-output only under -C/-D)."""
+        # the forward two-set path IS lockstep-sharded under a
+        # multi-process launch, so it builds over the GLOBAL mesh (the
+        # other strategies use strategy_engine's local replication)
         from ..device_engine import DeviceOverlapEngine
         from ..estimate import per_read_estimate_batch
 
@@ -357,9 +360,9 @@ class TwoSetStrategy(Estimate):
             # inverse -F: the fused extent reduce applies the inverted
             # overhang comparison (`twoset.rs:493-517`) per passing
             # target; undecidable rows recompute on the host
-            from ..device_engine import DeviceOverlapEngine
+            from ..device_engine import strategy_engine
 
-            dev = DeviceOverlapEngine(engine.index)
+            dev = strategy_engine(engine.index)
             if dev.supports_device_filter():
                 return self._align_reads_inverse_device(
                     engine, targets, queries, avg_target_len, read_lengths,
@@ -431,14 +434,14 @@ class TwoSetStrategy(Estimate):
         `twoset.rs:481-523`).  With ``filter_ratio`` the pair lists hold
         only targets passing the inverted overhang comparison
         (`twoset.rs:493-517`).  PAF side-output only under -C/-D."""
-        from ..device_engine import DeviceOverlapEngine
+        from ..device_engine import strategy_engine
 
         logger.info(
             "Using device overlap engine for --use-min-ref (%s)",
             self._device_paf_note(),
         )
         if dev is None:
-            dev = DeviceOverlapEngine(engine.index)
+            dev = strategy_engine(engine.index)
         tnames = [n for n, _ in targets]
         tseqs = [s for _, s in targets]
         dev.warmup(

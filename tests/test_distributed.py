@@ -113,3 +113,51 @@ def test_two_process_cli_equals_host(tmp_path):
     want = [l for l in host.stdout.splitlines() if l.strip().isdigit()]
     assert outs[0] == want and want, (outs[0], host.stdout)
     assert outs[1] == []
+
+
+@pytest.mark.slow
+def test_two_process_ava_replicated_equals_host(tmp_path):
+    """Non-lockstep strategies (ava here) must run correctly under a
+    multi-process launch: strategy_engine builds a LOCAL-device engine
+    (replicated execution, rank 0 prints) instead of sharding over the
+    global mesh, whose collective programs their schedules cannot
+    drive.  Regression for the round-4 non-addressable-array crash."""
+    fq = tmp_path / "reads.fq"
+    _write_corpus(fq)
+    ava_args = ["-n", "48", "-s", "5", "-qqq"]
+
+    host = subprocess.run(
+        CLI + [str(fq)] + ava_args,
+        env=_env({"XLA_FLAGS": "--xla_force_host_platform_device_count=1"}),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert host.returncode == 0, host.stderr[-2000:]
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        procs.append(
+            subprocess.Popen(
+                CLI + [str(fq), "--engine", "device"] + ava_args,
+                env=_env(
+                    {
+                        "LRGE_COORDINATOR": f"localhost:{port}",
+                        "LRGE_NUM_PROCESSES": "2",
+                        "LRGE_PROCESS_ID": str(pid),
+                    }
+                ),
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, err[-2000:]
+        outs.append([l for l in out.splitlines() if l.strip().isdigit()])
+    want = [l for l in host.stdout.splitlines() if l.strip().isdigit()]
+    assert outs[0] == want and want, (outs[0], host.stdout)
+    assert outs[1] == []
