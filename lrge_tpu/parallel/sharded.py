@@ -42,6 +42,7 @@ from ..ops.overlap_jax import (
     _PB_SPLIT,
     _dict_lookup,
     _expand_sort_chain,
+    _gather1,
     _pb_probe,
     _pruned_postings,
     _q_occ_drop_narrow,
@@ -306,13 +307,15 @@ def sharded_count_fn(
                     k=k, bucket_bits=bucket_bits, bucket_kmax=bucket_kmax,
                 )
             fc = jnp.maximum(found, 0)
+            # _gather1 barriers: a fused/scalarised gather here costs
+            # orders of magnitude more on TPU (see overlap_jax._gather1)
             if packed_dict_bits:
-                lo_occ = dict0[fc]
+                lo_occ = _gather1(dict0, fc)
                 lo = lo_occ >> packed_dict_bits
                 occ = (lo_occ & ((1 << packed_dict_bits) - 1)).astype(jnp.int32)
             else:
-                lo = dict0[fc]
-                occ = (dict1[fc] - lo).astype(jnp.int32)
+                lo = _gather1(dict0, fc)
+                occ = (_gather1(dict1, fc) - lo).astype(jnp.int32)
             occ = jnp.where(ckeep & (found >= 0) & (occ <= mid), occ, 0)
             c, a, r, pr = _expand_sort_chain(
                 lo, occ, cmps, cql, cqd, cqs,
