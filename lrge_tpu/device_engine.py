@@ -39,6 +39,47 @@ from .ops.overlap_jax import (
 
 logger = logging.getLogger("lrge")
 
+_prime_started = False
+
+
+def prime_fetch_async() -> None:
+    """Pay the relay's first device->host fetch cost off the hot path.
+
+    The remote-TPU relay lazily establishes its device->host fetch
+    channel on the FIRST result fetch of the process; under load that
+    setup has been observed to stall for minutes (tools/relay_health.py
+    2026-08-20: 16 KB first fetch 162 s, every later fetch <1 ms).
+    Dispatching a trivial program and fetching its result from a daemon
+    thread as soon as the engine is constructed overlaps that one-time
+    cost with index build and program compiles instead of serialising
+    it into the first mapping pass.  Idempotent; harmless (<1 ms extra
+    work) when the relay is healthy or on the CPU backend.
+    """
+    global _prime_started
+    if _prime_started:
+        return
+    _prime_started = True
+
+    def _pay():
+        try:
+            import time as _t
+
+            import jax
+            import jax.numpy as jnp
+
+            t0 = _t.perf_counter()
+            np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros((8,), jnp.int32)))
+            dt = _t.perf_counter() - t0
+            if dt > 5.0:
+                logger.debug("first-fetch channel setup took %.1fs", dt)
+        except Exception as e:  # pragma: no cover
+            logger.debug("prime fetch failed: %s", e)
+
+    import threading
+
+    threading.Thread(target=_pay, name="lrge-prime-fetch", daemon=True).start()
+
+
 # padded read lengths the engine will compile programs for; reads longer
 # than the last bucket fall back to the host path.  Each bucket is a
 # separate set of compiled programs with anchor capacity scaled by
@@ -108,6 +149,7 @@ class DeviceOverlapEngine:
         from .utils.jaxcache import enable_cache
 
         enable_cache()
+        prime_fetch_async()
         self.index = index
         self.params = index.params
         self.host = OverlapEngine(index)
