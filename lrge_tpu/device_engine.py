@@ -946,6 +946,7 @@ class DeviceOverlapEngine:
                         filter_mode=filter_mode,
                         idx_tlen=gd.tlen,
                         dp_chunk=int(_os.environ.get("LRGE_DP_CHUNK", "1")),
+                        cuckoo_bits=gd.cuckoo_bits,
                     )
                     inflight.append(
                         (nb, B, A, codes, lengths, ids, None, (packed, pr))
@@ -990,6 +991,8 @@ class DeviceOverlapEngine:
                         bucket_kmax=gd.bucket_kmax,
                         q_occ_frac=p.q_occ_frac,
                         sup_vmap=self.sup_vmap,
+                        cuckoo_bits=gd.cuckoo_bits,
+                        dict_occ_bits=gd.packed_dict_bits,
                     )
                 subs = []
                 for s in range(gd.n_sub):

@@ -66,27 +66,40 @@ def _gather1(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 def _gatherw(table: jnp.ndarray, idx: jnp.ndarray, w: int) -> jnp.ndarray:
     """Windowed gather: ``[..., w]`` consecutive entries starting at
-    ``idx`` (clipped in-bounds).
+    ``idx`` (clipped so the window stays in-bounds; callers must clip
+    ``idx`` to ``[0, len(table)-w]`` themselves when positions matter).
 
-    The bucketed-dictionary probe reads ``kmax`` CONSECUTIVE slots per
-    minimizer; fetching them as one sliced gather costs ~one HBM
-    transaction per index instead of ``kmax`` separate random gathers
-    (measured 195 ms -> 8 ms for the kmax=8 probe plane on v5e,
-    tools/stage_probe2.py 2026-08-20 — random gathers run ~14 ns/elem,
-    so consecutive fetches must share their transaction).  Same
-    barriers as :func:`_gather1` to keep the standalone gather kernel.
+    Two lowerings:
+
+    * default — ``w`` separate :func:`_gather1` fetches of
+      ``table[idx+j]``.  Measured ~14 ns/element on v5e: each fetch
+      uses the standalone dynamic-gather kernel (a kmax=8 probe plane
+      over [1024, 1664] indices runs ~190 ms).
+    * ``LRGE_WIN_GATHER=1`` — ONE ``lax.gather`` of ``w``-wide slices.
+      In principle consecutive elements share their HBM transaction,
+      but XLA:TPU lowers overlapping 1-D slice-gathers OFF the fast
+      gather kernel (measured ~160 ns/slice-element on v5e
+      2026-08-20: the same kmax=8 probe plane runs ~2.1 s — 10x
+      SLOWER than the per-slot loop), so this stays opt-in for future
+      XLA versions.
     """
-    flat = idx.reshape(-1, 1)
-    out = jax.lax.gather(
-        table,
-        jax.lax.optimization_barrier(flat),
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
-        ),
-        slice_sizes=(w,),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )
-    return jax.lax.optimization_barrier(out).reshape(*idx.shape, w)
+    import os as _os
+
+    if _os.environ.get("LRGE_WIN_GATHER") == "1":
+        flat = idx.reshape(-1, 1)
+        out = jax.lax.gather(
+            table,
+            jax.lax.optimization_barrier(flat),
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+            ),
+            slice_sizes=(w,),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+        return jax.lax.optimization_barrier(out).reshape(*idx.shape, w)
+    hi = max(table.shape[0] - 1, 0)
+    cols = [_gather1(table, jnp.minimum(idx + j, hi)) for j in range(w)]
+    return jnp.stack(cols, axis=-1)
 
 
 def mg_log2_jax(x: jnp.ndarray) -> jnp.ndarray:
@@ -1294,6 +1307,83 @@ map_many = functools.partial(
 # ---------------------------------------------------------------------------
 
 
+_CUCKOO_A1 = 0x9E3779B1  # odd multiply-shift constants (h1 / h2)
+_CUCKOO_A2 = 0x85EBCA77
+
+
+def _cuckoo_slots(mhash, cbits):
+    """The two candidate cuckoo slots of a (raw uint32) minimizer hash.
+
+    Multiply-shift with distinct odd constants (h2 premixes with a
+    16-bit xorshift so the pair is not affinely related).  Works on
+    both numpy and jax arrays — the BUILD (host, numpy) and the LOOKUP
+    (device) must agree bit-for-bit."""
+    sh = 32 - cbits
+    h1 = (mhash * np.uint32(_CUCKOO_A1)) >> np.uint32(sh)
+    h2 = ((mhash ^ (mhash >> np.uint32(16))) * np.uint32(_CUCKOO_A2)) >> np.uint32(sh)
+    return h1.astype(np.int32), h2.astype(np.int32)
+
+
+def _build_cuckoo(keys_u32, *, load=0.4, max_rounds=500):
+    """Place unique uint32 keys into a 2-choice cuckoo table.
+
+    Parallel random-walk insertion (Alcantara-style): every pending key
+    claims its current candidate slot with a random per-round priority;
+    losers and evicted previous owners flip to their other candidate.
+    Work is proportional to conflicts, so the whole build is a few
+    passes over the key set.  Deterministic (fixed seed) so replicated
+    multi-process engines build identical tables.
+
+    Returns ``(pos, cbits)`` — each key's slot and the table's log2
+    size — or ``None`` if the walk does not converge (the caller falls
+    back to the bucketed dictionary)."""
+    U = len(keys_u32)
+    if U == 0:
+        return None
+    cbits = max(10, int(np.ceil(np.log2(max(U, 2) / load))))
+    if cbits > 27:  # 128M slots: 512 MB of int32 planes — too big
+        return None
+    keys_u32 = keys_u32.astype(np.uint32)
+    h1, h2 = _cuckoo_slots(keys_u32, cbits)
+    h1 = h1.astype(np.int64)
+    h2 = h2.astype(np.int64)
+    idx = np.arange(U, dtype=np.int64)
+    choice = np.zeros(U, dtype=bool)
+    pos = h1.copy()
+    owner = np.full(1 << cbits, -1, dtype=np.int64)
+    pending = idx
+    rng = np.random.default_rng(6)
+    for _ in range(max_rounds):
+        p_all = pos[pending]
+        prev = owner[p_all].copy()
+        perm = rng.permutation(len(pending))
+        owner[p_all[perm]] = pending[perm]
+        now = owner[p_all]
+        won = now == pending
+        evicted = np.unique(prev[(prev >= 0) & (prev != now)])
+        movers = np.concatenate([pending[~won], evicted])
+        if movers.size == 0:
+            return pos, cbits
+        choice[movers] ^= True
+        pos[movers] = np.where(choice[movers], h2[movers], h1[movers])
+        pending = movers
+    return None
+
+
+def _cuckoo_lookup(mhash, ckey, *, cuckoo_bits):
+    """2-probe cuckoo dictionary lookup: TWO [B, M] gathers total
+    (the bucketed probe costs ``kmax + 2``; the dictionary stage was
+    the single largest device cost at kmax ~8).  ``ckey`` holds the
+    transformed keys in cuckoo-slot space; empty slots hold a sentinel
+    above the ``2k``-bit hash range, so no real query hash can match
+    one."""
+    qk = jax.lax.bitcast_convert_type(mhash ^ jnp.uint32(0x80000000), jnp.int32)
+    h1, h2 = _cuckoo_slots(mhash, cuckoo_bits)
+    k1 = _gather1(ckey, h1)
+    k2 = _gather1(ckey, h2)
+    return jnp.where(k1 == qk, h1, jnp.where(k2 == qk, h2, -1))
+
+
 def _dict_lookup(mhash, uhash, boff, *, k, bucket_bits, bucket_kmax):
     """Bucketed dictionary probe: unique-hash slot per minimizer (-1 miss).
 
@@ -1336,6 +1426,8 @@ def sketch_lookup_core(
     bucket_bits,
     bucket_kmax,
     q_occ_frac,
+    cuckoo_bits=0,
+    dict_occ_bits=0,
 ):
     """Sketch + index lookup + seed filters in one program.
 
@@ -1344,6 +1436,11 @@ def sketch_lookup_core(
     filter already applied (-1 = no anchors: miss, padding, occurrence
     cutoff, or the mm_seed_mz_flt q_occ drop); ``mps`` packs the query
     end position and strand.
+
+    With ``cuckoo_bits`` > 0, ``uhash`` is the cuckoo key plane and
+    ``uoff`` the cuckoo-space packed (start << dict_occ_bits) | occ
+    plane: the probe is 2 gathers and the occurrence gate 1 (the
+    bucketed path costs kmax + 4).
     """
     from .sketch_jax import sketch_core
 
@@ -1352,12 +1449,20 @@ def sketch_lookup_core(
         codes, lengths, k=k, w=w, max_minimizers=M
     )
     B = codes.shape[0]
-    found = _dict_lookup(
-        mhash, uhash, boff, k=k, bucket_bits=bucket_bits, bucket_kmax=bucket_kmax
-    )
-    fc = jnp.maximum(found, 0)
-    uo = _gatherw(uoff, fc, 2)  # consecutive offsets: one windowed fetch
-    occg = jnp.where(found >= 0, uo[..., 1] - uo[..., 0], 0).astype(jnp.int32)
+    if cuckoo_bits:
+        found = _cuckoo_lookup(mhash, uhash, cuckoo_bits=cuckoo_bits)
+        fc = jnp.maximum(found, 0)
+        loocc = _gather1(uoff, fc)  # empty slots hold occ 0
+        occg = jnp.where(
+            found >= 0, loocc & ((1 << dict_occ_bits) - 1), 0
+        ).astype(jnp.int32)
+    else:
+        found = _dict_lookup(
+            mhash, uhash, boff, k=k, bucket_bits=bucket_bits, bucket_kmax=bucket_kmax
+        )
+        fc = jnp.maximum(found, 0)
+        uo = _gatherw(uoff, fc, 2)  # consecutive offsets: one windowed fetch
+        occg = jnp.where(found >= 0, uo[..., 1] - uo[..., 0], 0).astype(jnp.int32)
     gate = (found >= 0) & (occg > 0) & (occg <= mid_occ)
     gate = gate & (mhash != jnp.uint32(0xFFFFFFFF))
 
@@ -1372,14 +1477,15 @@ def sketch_lookup_core(
 
 def sketch_lookup_many_core(
     codes, lengths, uhash, uoff, boff, mid_occ, *, k, w, bucket_bits, bucket_kmax,
-    q_occ_frac, sup_vmap=False,
+    q_occ_frac, sup_vmap=False, cuckoo_bits=0, dict_occ_bits=0,
 ):
     def real_body(args):
         c, ln = args
         return sketch_lookup_core(
             c, ln, uhash, uoff, boff, mid_occ,
             k=k, w=w, bucket_bits=bucket_bits, bucket_kmax=bucket_kmax,
-            q_occ_frac=q_occ_frac,
+            q_occ_frac=q_occ_frac, cuckoo_bits=cuckoo_bits,
+            dict_occ_bits=dict_occ_bits,
         )
 
     if sup_vmap:
@@ -1408,7 +1514,10 @@ def sketch_lookup_many_core(
 
 sketch_lookup_many = functools.partial(
     jax.jit,
-    static_argnames=("k", "w", "bucket_bits", "bucket_kmax", "q_occ_frac", "sup_vmap"),
+    static_argnames=(
+        "k", "w", "bucket_bits", "bucket_kmax", "q_occ_frac", "sup_vmap",
+        "cuckoo_bits", "dict_occ_bits",
+    ),
 )(sketch_lookup_many_core)
 
 
@@ -1633,6 +1742,7 @@ def sketch_map_many_core(
     filter_mode="internal",
     idx_tlen=None,
     dp_chunk=1,
+    cuckoo_bits=0,
 ):
     """Whole ONT pipeline — sketch + lookup + map — in ONE program.
 
@@ -1657,7 +1767,8 @@ def sketch_map_many_core(
         return sketch_lookup_core(
             c, ln, uhash, uoff, boff, mid_occ,
             k=k, w=w, bucket_bits=bucket_bits, bucket_kmax=bucket_kmax,
-            q_occ_frac=q_occ_frac,
+            q_occ_frac=q_occ_frac, cuckoo_bits=cuckoo_bits,
+            dict_occ_bits=packed_dict_bits,
         )
 
     found, mps, mcount = jax.lax.map(sk_body, (codes, lengths))
@@ -1734,6 +1845,7 @@ sketch_map_many = functools.partial(
         "no_dual", "no_diag", "max_chain_skip", "packed_pos",
         "min_cnt", "want_pairs", "packed_rid_bits", "packed_dict_bits",
         "sort_rows", "want_extents", "overhang_ratio", "filter_mode", "dp_chunk",
+        "cuckoo_bits",
     ),
 )(sketch_map_many_core)
 
@@ -1774,6 +1886,11 @@ class GroupedDeviceIndex:
     packed_dict_bits: int = 0  # = occ_bits when active
     loocc: list = None  # n_sub device arrays [U] int32
     tlen: jnp.ndarray = None  # [T] int32 target lengths (the -F extent path)
+    # 2-probe cuckoo dictionary (narrow single-sub packed layout): when
+    # > 0, ``uhash``/``uoff``/``loocc`` live in cuckoo-slot space
+    # ([2^cuckoo_bits]; ``uoff`` == ``loocc[0]``) and the bucketed
+    # ``boff`` planes are dummies
+    cuckoo_bits: int = 0
 
     @classmethod
     def from_host(cls, index, n_sub: int, bucket_bits: int = 22) -> "GroupedDeviceIndex":
@@ -1864,15 +1981,46 @@ class GroupedDeviceIndex:
         lo_bits = max(1, int(N).bit_length())
         packed_dict_bits = 0
         loocc = None
+        loocc_np = None
         if not no_pack and lo_bits + occ_bits <= 31:
             packed_dict_bits = occ_bits
-            loocc = [
-                jnp.asarray(
-                    (soff[:, s].astype(np.int32) << occ_bits)
-                    | (soff[:, s + 1] - soff[:, s]).astype(np.int32)
-                )
+            loocc_np = [
+                (soff[:, s].astype(np.int32) << occ_bits)
+                | (soff[:, s + 1] - soff[:, s]).astype(np.int32)
                 for s in range(n_sub)
             ]
+            loocc = [jnp.asarray(a) for a in loocc_np]
+        # 2-probe cuckoo dictionary (the bucketed probe costs kmax + 4
+        # gathers per minimizer; the dictionary stage dominated device
+        # time at kmax ~8).  Narrow single-sub packed layout only; the
+        # sentinel needs one spare value above the 2k-bit hash range,
+        # and the occurrence gate rides the packed occ field.  Build
+        # failure (non-convergent walk) keeps the bucketed planes.
+        cuckoo_bits = 0
+        if (
+            not wide
+            and n_sub == 1
+            and packed_dict_bits
+            and hash_bits <= 30
+            and os.environ.get("LRGE_NO_CUCKOO") != "1"
+        ):
+            built = _build_cuckoo(uh_u.astype(np.uint32))
+            if built is not None:
+                cpos, cuckoo_bits = built
+                C = 1 << cuckoo_bits
+                sentinel = np.uint32(1 << hash_bits)
+                ckey_raw = np.full(C, sentinel, dtype=np.uint32)
+                ckey_raw[cpos] = uh_u.astype(np.uint32)
+                uh_planes = (
+                    (ckey_raw ^ np.uint32(0x80000000)).view(np.int32),
+                    None,
+                )
+                lc = np.zeros(C, dtype=np.int32)  # empty slots: occ 0
+                lc[cpos] = loocc_np[0]
+                loocc = [jnp.asarray(lc)]
+                uoff = lc  # the lookup's occurrence-gate plane
+                bucket_bits = 0
+                boff = np.zeros(1, dtype=np.int32)
         return cls(
             rid=jnp.asarray(rid_g),
             pos=jnp.asarray(pos_g),
@@ -1893,6 +2041,7 @@ class GroupedDeviceIndex:
             packed_dict_bits=packed_dict_bits,
             loocc=loocc,
             tlen=jnp.asarray(_rank_order(index)),
+            cuckoo_bits=cuckoo_bits,
         )
 
 

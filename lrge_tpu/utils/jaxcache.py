@@ -32,11 +32,20 @@ _stats = {"requests": 0, "hits": 0}
 
 
 def _machine_tag() -> str:
-    """Stable per-machine fingerprint (arch + CPU feature flags hash)."""
+    """Stable per-machine fingerprint.
+
+    Axes that decide AOT artifact compatibility: CPU arch + feature
+    flags, the jax/XLA version, and the XLA option set — XLA:CPU bakes
+    option-derived pseudo-features (``+prefer-no-scatter`` /
+    ``+prefer-no-gather``) into the artifact's target-machine string,
+    so two processes on the SAME CPU with different ``XLA_FLAGS`` write
+    mutually "cross-machine" artifacts that trip the AOT loader's
+    machine-mismatch warning on every load.  The ``v2`` epoch orphans
+    entries written before option hashing existed."""
     import hashlib
     import platform as _platform
 
-    parts = [_platform.machine() or "unknown"]
+    parts = ["v2", _platform.machine() or "unknown"]
     try:
         with open("/proc/cpuinfo") as fh:
             for line in fh:
@@ -46,6 +55,16 @@ def _machine_tag() -> str:
                     break
     except OSError:
         pass
+    try:
+        import jax
+
+        ver = jax.__version__
+    except Exception:
+        ver = "nojax"
+    opt = os.environ.get("XLA_FLAGS", "")
+    parts.append(
+        hashlib.sha1(f"{ver}|{opt}".encode()).hexdigest()[:10]
+    )
     return "-".join(parts)
 
 
