@@ -505,3 +505,80 @@ class TestWindowedProbe:
                     if uhash_t[p] == qk[i, j]:
                         want[i, j] = p
         assert np.array_equal(got, want)
+
+
+class TestCuckooDictionary:
+    """The 2-probe cuckoo dictionary (ops/overlap_jax.py) must place
+    every unique key retrievably and yield counts identical to the
+    bucketed dictionary and the exact host engine."""
+
+    def test_build_places_every_key(self):
+        from lrge_tpu.ops.overlap_jax import _build_cuckoo, _cuckoo_slots
+
+        rng = np.random.default_rng(7)
+        keys = np.unique(
+            rng.integers(0, 1 << 30, size=100_000, dtype=np.uint32)
+        )
+        pos, cbits = _build_cuckoo(keys)
+        C = 1 << cbits
+        # positions unique and within the table
+        assert len(np.unique(pos)) == len(keys)
+        assert pos.min() >= 0 and pos.max() < C
+        # every key sits at one of its two candidate slots
+        h1, h2 = _cuckoo_slots(keys, cbits)
+        assert np.all((pos == h1) | (pos == h2))
+
+    def test_lookup_matches_table(self):
+        import jax.numpy as jnp
+
+        from lrge_tpu.ops.overlap_jax import (
+            _build_cuckoo,
+            _cuckoo_lookup,
+        )
+
+        rng = np.random.default_rng(8)
+        keys = np.unique(rng.integers(0, 1 << 30, size=5_000, dtype=np.uint32))
+        pos, cbits = _build_cuckoo(keys)
+        C = 1 << cbits
+        sentinel = np.uint32(1 << 30)
+        ckey = np.full(C, sentinel, np.uint32)
+        ckey[pos] = keys
+        ckey_t = (ckey ^ np.uint32(0x80000000)).view(np.int32)
+        # probe every real key (must find its slot) and misses (must be -1)
+        misses = rng.integers(0, 1 << 30, size=512, dtype=np.uint32)
+        misses = misses[~np.isin(misses, keys)]
+        q = np.concatenate([keys, misses])
+        want = np.concatenate([pos.astype(np.int64), np.full(len(misses), -1)])
+        order = rng.permutation(len(q))
+        pad = (-len(q)) % 8
+        q = np.concatenate([q[order], np.full(pad, 0xFFFFFFFF, np.uint32)])
+        want = np.concatenate([want[order], np.full(pad, -1)])
+        got = np.asarray(
+            _cuckoo_lookup(
+                jnp.asarray(q.reshape(8, -1)),
+                jnp.asarray(ckey_t),
+                cuckoo_bits=cbits,
+            )
+        ).reshape(-1)
+        # padding lanes (0xFFFFFFFF) transform above the key range: miss
+        assert np.array_equal(got, want)
+
+    def test_engine_counts_match_bucketed_and_host(self, corpus, monkeypatch):
+        monkeypatch.setenv("LRGE_HOST_SHARE", "0")
+        monkeypatch.setenv("LRGE_SHARDS", "1")  # grouped path, not sharded
+        targets, tnames, queries, qnames = corpus
+        params = preset_for(Platform.NANOPORE, dual=True)
+        index = build_index(targets, tnames, params)
+        dev = DeviceOverlapEngine(index, batch_size=16, num_anchors=4096, window=128)
+        if dev.gdev is None or dev.gdev.cuckoo_bits == 0:
+            pytest.skip("corpus layout did not take the cuckoo path")
+        res = dev.count_batch(qnames, queries)
+        monkeypatch.setenv("LRGE_NO_CUCKOO", "1")
+        dev_b = DeviceOverlapEngine(index, batch_size=16, num_anchors=4096, window=128)
+        assert dev_b.gdev.cuckoo_bits == 0
+        res_b = dev_b.count_batch(qnames, queries)
+        np.testing.assert_array_equal(res.counts, res_b.counts)
+        host = OverlapEngine(index)
+        for i, (nm, sq) in enumerate(zip(qnames, queries)):
+            hc, _ = host.count_overlaps(nm, sq)
+            assert res.counts[i] == hc
