@@ -82,9 +82,21 @@ def main():
     found, mps, mc = sketch_lookup_many(
         codes_d, lengths_d, gd.uhash, gd.uoff, gd.boff, jnp.int32(gd.mid_occ),
         k=p.k, w=p.w, bucket_bits=gd.bucket_bits, bucket_kmax=gd.bucket_kmax,
-        q_occ_frac=p.q_occ_frac,
+        q_occ_frac=p.q_occ_frac, cuckoo_bits=gd.cuckoo_bits,
+        dict_occ_bits=gd.packed_dict_bits,
     )
     np.asarray(mc)
+
+    def sl_many():
+        return sketch_lookup_many(
+            codes_d, lengths_d, gd.uhash, gd.uoff, gd.boff,
+            jnp.int32(gd.mid_occ), k=p.k, w=p.w,
+            bucket_bits=gd.bucket_bits, bucket_kmax=gd.bucket_kmax,
+            q_occ_frac=p.q_occ_frac, cuckoo_bits=gd.cuckoo_bits,
+            dict_occ_bits=gd.packed_dict_bits,
+        )
+
+    t("sketch+lookup full", lambda: sl_many(), lambda o: o[2])
 
     # ---- lookup internals on real hash planes ----
     from lrge_tpu.ops.sketch_jax import sketch_core
@@ -99,15 +111,26 @@ def main():
     mh, mp_, ms_, _mc = sketch_hashes(codes_d, lengths_d)
     np.asarray(_mc)
 
-    @jax.jit
-    def probes_only(mh_):
-        return jax.lax.map(
-            lambda h: _dict_lookup(
-                h, gd.uhash, gd.boff, k=p.k,
-                bucket_bits=gd.bucket_bits, bucket_kmax=gd.bucket_kmax,
-            ),
-            mh_,
-        )
+    if gd.cuckoo_bits:
+        from lrge_tpu.ops.overlap_jax import _cuckoo_lookup
+
+        @jax.jit
+        def probes_only(mh_):
+            return jax.lax.map(
+                lambda h: _cuckoo_lookup(h, gd.uhash, cuckoo_bits=gd.cuckoo_bits),
+                mh_,
+            )
+    else:
+
+        @jax.jit
+        def probes_only(mh_):
+            return jax.lax.map(
+                lambda h: _dict_lookup(
+                    h, gd.uhash, gd.boff, k=p.k,
+                    bucket_bits=gd.bucket_bits, bucket_kmax=gd.bucket_kmax,
+                ),
+                mh_,
+            )
 
     t("dict probes only", lambda: probes_only(mh), lambda o: o[:, :, :1])
 

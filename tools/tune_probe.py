@@ -41,8 +41,10 @@ for cfg in configs:
     kv = dict(item.split("=") for item in cfg.split(","))
     for env in ("LRGE_DEVICE_BATCH", "LRGE_DEVICE_SUPER", "LRGE_DEVICE_WINDOW",
                 "LRGE_DEVICE_ANCHORS", "LRGE_DEVICE_BUCKET", "LRGE_SUP_VMAP",
-                "LRGE_HOST_SHARE"):
+                "LRGE_HOST_SHARE", "LRGE_DP_CHUNK"):
         os.environ.pop(env, None)
+    if "DPC" in kv:
+        os.environ["LRGE_DP_CHUNK"] = kv["DPC"]
     if "VMAP" in kv:
         os.environ["LRGE_SUP_VMAP"] = kv["VMAP"]
     if "SHARE" in kv:
