@@ -39,6 +39,9 @@ from .ops.overlap_jax import (
 
 logger = logging.getLogger("lrge")
 
+import threading as _threading
+
+_prime_lock = _threading.Lock()
 _prime_started = False
 
 
@@ -56,9 +59,10 @@ def prime_fetch_async() -> None:
     work) when the relay is healthy or on the CPU backend.
     """
     global _prime_started
-    if _prime_started:
-        return
-    _prime_started = True
+    with _prime_lock:
+        if _prime_started:
+            return
+        _prime_started = True
 
     def _pay():
         try:
@@ -84,8 +88,13 @@ def prime_fetch_async() -> None:
 # than the last bucket fall back to the host path.  Each bucket is a
 # separate set of compiled programs with anchor capacity scaled by
 # bucket length, so typical long-read length distributions (ONT tails
-# beyond 4 kb) stay on device.
-LENGTH_BUCKETS = (4096, 8192, 16384)
+# beyond 4 kb) and ultralong reads up to 32 kb stay on device (the
+# reference's toy.bam fixture tops out at 32,437 bp — that read alone
+# exceeds the last bucket and takes the exact host path, like any
+# >32 kb ultralong tail).  Sparse buckets still route to the host
+# (LRGE_DEVICE_MIN_ROWS), so corpora without long reads never pay the
+# 32 kb program's compile.
+LENGTH_BUCKETS = (4096, 8192, 16384, 32768)
 
 
 @dataclass
@@ -185,6 +194,15 @@ class DeviceOverlapEngine:
         # exclusive with the Pallas DP backend (fixed [B] grid)
         self.sup_vmap = (
             os.environ.get("LRGE_SUP_VMAP", "0") == "1" and not self.use_pallas
+        )
+        # flatten the super axis into one [SUP*B]-row program: the DP
+        # while_loop pays the global max anchor bound ONCE instead of
+        # per-slot bounds summed (measured ~0.3x DP steps at bench
+        # shapes); LRGE_NO_FLAT=1 restores the per-slot lax.map
+        self.flatten = (
+            os.environ.get("LRGE_NO_FLAT") != "1"
+            and not self.use_pallas
+            and not self.sup_vmap
         )
         self.pallas_block = math.gcd(
             batch_size, int(os.environ.get("LRGE_PALLAS_BLOCK", "8"))
@@ -739,6 +757,10 @@ class DeviceOverlapEngine:
         counts = np.zeros(n, dtype=np.int32)
         had = np.zeros(n, dtype=bool)
         fallback = 0
+        # utilization accounting for this pass (bench reporting): valid
+        # anchors the device chained vs total [B, A] slots it executed
+        self.last_anchors_valid = 0
+        self.last_anchor_slots = 0
         phases = {"prep": 0.0, "enqueue": 0.0, "collect": 0.0, "retry": 0.0}
         _t0 = _time.perf_counter()
         if filter_ratio is None:
@@ -940,7 +962,11 @@ class DeviceOverlapEngine:
                         want_pairs=collect_pairs is not None,
                         packed_rid_bits=gd.packed_rid_bits,
                         packed_dict_bits=gd.packed_dict_bits,
-                        sort_rows=_os.environ.get("LRGE_FUSED_SORT", "1") == "1",
+                        sort_rows=(
+                            not self.flatten
+                            and _os.environ.get("LRGE_FUSED_SORT", "1") == "1"
+                        ),
+                        flatten=self.flatten,
                         want_extents=filter_ratio is not None,
                         overhang_ratio=float(filter_ratio or 0.2),
                         filter_mode=filter_mode,
@@ -974,6 +1000,7 @@ class DeviceOverlapEngine:
                         bucket_kmax=gd.bucket_kmax,
                         q_occ_frac=p.q_occ_frac,
                         sup_vmap=self.sup_vmap,
+                        flatten=self.flatten,
                     )
                     mps = jnp.asarray(mps_h.reshape(*SH, M_L))
                     mcount_d = mc_h.reshape(SH)
@@ -993,6 +1020,7 @@ class DeviceOverlapEngine:
                         sup_vmap=self.sup_vmap,
                         cuckoo_bits=gd.cuckoo_bits,
                         dict_occ_bits=gd.packed_dict_bits,
+                        flatten=self.flatten,
                     )
                 subs = []
                 for s in range(gd.n_sub):
@@ -1029,6 +1057,7 @@ class DeviceOverlapEngine:
                             packed_rid_bits=gd.packed_rid_bits,
                             packed_dict_bits=gd.packed_dict_bits,
                             sup_vmap=self.sup_vmap,
+                            flatten=self.flatten,
                         )
                     )
                 inflight.append((nb, B, A, codes, lengths, ids, mcount_d, subs))
@@ -1068,6 +1097,10 @@ class DeviceOverlapEngine:
             # vectorised exactness triage (a per-row Python loop here
             # costs ~0.1 ms x thousands of rows, rivaling device time)
             live = ids[:nb] >= 0
+            self.last_anchors_valid += int(
+                np.minimum(n_anchors[:nb], A)[live].sum()
+            )
+            self.last_anchor_slots += SUP * B * A
             prior = self.triage_flags(
                 live, n_anchors[:nb], A, max_run[:nb], mcount[:nb], M,
                 codes[:nb], lengths[:nb],

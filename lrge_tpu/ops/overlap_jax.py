@@ -66,8 +66,9 @@ def _gather1(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 def _gatherw(table: jnp.ndarray, idx: jnp.ndarray, w: int) -> jnp.ndarray:
     """Windowed gather: ``[..., w]`` consecutive entries starting at
-    ``idx`` (clipped so the window stays in-bounds; callers must clip
-    ``idx`` to ``[0, len(table)-w]`` themselves when positions matter).
+    ``idx``.  Out-of-range starts are clamped to ``[0, len(table)-w]``
+    (window-start shift), identically in BOTH lowerings; callers that
+    care about positions must still pre-clip ``idx`` themselves.
 
     Two lowerings:
 
@@ -97,8 +98,8 @@ def _gatherw(table: jnp.ndarray, idx: jnp.ndarray, w: int) -> jnp.ndarray:
             mode=jax.lax.GatherScatterMode.CLIP,
         )
         return jax.lax.optimization_barrier(out).reshape(*idx.shape, w)
-    hi = max(table.shape[0] - 1, 0)
-    cols = [_gather1(table, jnp.minimum(idx + j, hi)) for j in range(w)]
+    start = jnp.clip(idx, 0, max(table.shape[0] - w, 0))
+    cols = [_gather1(table, start + j) for j in range(w)]
     return jnp.stack(cols, axis=-1)
 
 
@@ -855,8 +856,9 @@ def _seg_best(f, boundary, A, B, want_slot):
     ``want_slot``, positions equal to their running max are "records";
     a second run-id-packed cummax over record slots yields, at each run
     end, the LARGEST slot among max-score ties (the backtrack peel
-    order).  Scores clip at 2^15-2 — far above any reachable chain
-    score (<= padded read length + max span < 17k)."""
+    order).  Scores clip at 2^15-2; a 32 kb read's chain can in
+    principle exceed that, so ``_reduce_counts`` flags any row whose
+    score reaches the clip for exact host recompute."""
     FB = 15
     assert A <= (1 << FB), "packed segmented reduce needs A <= 32768"
     runid = jnp.cumsum(boundary.astype(jnp.int32), axis=1)
@@ -866,8 +868,9 @@ def _seg_best(f, boundary, A, B, want_slot):
     best_f = (seg & ((1 << FB) - 1)) - 1
     if not want_slot:
         return best_f, None
-    SB = 14
-    assert A <= (1 << SB), "packed (f,slot) reduction needs A <= 16384"
+    SB = 15
+    # pk fits int32: runid <= A = 2^15 shifted by 15 -> < 2^31
+    assert A <= (1 << SB), "packed (f,slot) reduction needs A <= 32768"
     slots_i = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32), (B, A))
     # every run's first element is a record (strictly larger runid), so
     # the rec cummax never leaks across runs
@@ -1003,6 +1006,10 @@ def _reduce_counts(
     run_depth = jnp.where(valid_s, idxs - run_start, 0)  # predecessors in run
     missed = valid_s & (run_depth > W) & ~broke
     inexact = jnp.any(missed, axis=1)
+    # score-clip guard: _seg_best packs scores in 15 bits, so a chain
+    # whose f reaches the clip (possible only for ~32 kb near-perfect
+    # chains) could mis-resolve ties — recompute those rows exactly
+    inexact = inexact | jnp.any(f >= jnp.int32((1 << 15) - 2), axis=1)
     if suspicious is not None:
         inexact = inexact | suspicious
     max_run = jnp.where(inexact, jnp.int32(W + 1), jnp.int32(0))
@@ -1324,7 +1331,7 @@ def _cuckoo_slots(mhash, cbits):
     return h1.astype(np.int32), h2.astype(np.int32)
 
 
-def _build_cuckoo(keys_u32, *, load=0.4, max_rounds=500):
+def _build_cuckoo(keys_u32, *, load=0.45, max_rounds=500):
     """Place unique uint32 keys into a 2-choice cuckoo table.
 
     Parallel random-walk insertion (Alcantara-style): every pending key
@@ -1334,6 +1341,14 @@ def _build_cuckoo(keys_u32, *, load=0.4, max_rounds=500):
     passes over the key set.  Deterministic (fixed seed) so replicated
     multi-process engines build identical tables.
 
+    Sizing: the table is the power of two holding the keys at <=
+    ``load`` occupancy (2-choice cuckoo converges reliably below 0.5);
+    a non-convergent walk retries once with a doubled table.  Tables
+    beyond 2^26 slots are refused — the device carries TWO int32
+    planes in cuckoo-slot space (keys + packed offsets), so 2^26 slots
+    already cost 512 MB of HBM; larger key sets fall back to the
+    bucketed dictionary, whose planes are exactly U-sized.
+
     Returns ``(pos, cbits)`` — each key's slot and the table's log2
     size — or ``None`` if the walk does not converge (the caller falls
     back to the bucketed dictionary)."""
@@ -1341,8 +1356,17 @@ def _build_cuckoo(keys_u32, *, load=0.4, max_rounds=500):
     if U == 0:
         return None
     cbits = max(10, int(np.ceil(np.log2(max(U, 2) / load))))
-    if cbits > 27:  # 128M slots: 512 MB of int32 planes — too big
-        return None
+    for cb in (cbits, cbits + 1):
+        if cb > 26:
+            return None
+        built = _try_build_cuckoo(keys_u32, cb, max_rounds)
+        if built is not None:
+            return built
+    return None
+
+
+def _try_build_cuckoo(keys_u32, cbits, max_rounds):
+    U = len(keys_u32)
     keys_u32 = keys_u32.astype(np.uint32)
     h1, h2 = _cuckoo_slots(keys_u32, cbits)
     h1 = h1.astype(np.int64)
@@ -1477,7 +1501,7 @@ def sketch_lookup_core(
 
 def sketch_lookup_many_core(
     codes, lengths, uhash, uoff, boff, mid_occ, *, k, w, bucket_bits, bucket_kmax,
-    q_occ_frac, sup_vmap=False, cuckoo_bits=0, dict_occ_bits=0,
+    q_occ_frac, sup_vmap=False, cuckoo_bits=0, dict_occ_bits=0, flatten=False,
 ):
     def real_body(args):
         c, ln = args
@@ -1486,6 +1510,22 @@ def sketch_lookup_many_core(
             k=k, w=w, bucket_bits=bucket_bits, bucket_kmax=bucket_kmax,
             q_occ_frac=q_occ_frac, cuckoo_bits=cuckoo_bits,
             dict_occ_bits=dict_occ_bits,
+        )
+
+    if flatten:
+        # collapse the super axis into one [NB*B] batch: every stage is
+        # data-parallel over rows, so one wide pass amortises the
+        # per-slot dispatch/loop overhead of lax.map (see
+        # map_found_many_core for the DP argument)
+        NB, B, L = codes.shape
+        found, mps, mcount = real_body(
+            (codes.reshape(NB * B, L), lengths.reshape(NB * B))
+        )
+        M = found.shape[-1]
+        return (
+            found.reshape(NB, B, M),
+            mps.reshape(NB, B, M),
+            mcount.reshape(NB, B),
         )
 
     if sup_vmap:
@@ -1516,7 +1556,7 @@ sketch_lookup_many = functools.partial(
     jax.jit,
     static_argnames=(
         "k", "w", "bucket_bits", "bucket_kmax", "q_occ_frac", "sup_vmap",
-        "cuckoo_bits", "dict_occ_bits",
+        "cuckoo_bits", "dict_occ_bits", "flatten",
     ),
 )(sketch_lookup_many_core)
 
@@ -1647,6 +1687,7 @@ def map_found_many_core(
     sup_vmap=False,
     profile_stage="",
     rank_postings=True,
+    flatten=False,
 ):
     def real_body(args):
         fo, mp, ql, qd, qs = args
@@ -1674,6 +1715,26 @@ def map_found_many_core(
             jnp.full((B, PM), -1, jnp.int32),
         )
 
+    if flatten:
+        # ONE [NB*B]-row core call instead of lax.map over NB slots:
+        # the chain DP is a while_loop whose per-iteration cost is
+        # latency-bound at [B, W] shapes, so NB sequential loops pay
+        # (sum of per-slot anchor bounds) iterations while the
+        # flattened loop pays only the GLOBAL max bound — measured
+        # ~4x fewer sequential DP steps at bench shapes — and the
+        # expand/sort/reduce stages are row-parallel either way
+        NB, B, M = found.shape
+        _fl = lambda x: x.reshape(NB * B, *x.shape[2:])
+        counts, n_anchors, max_run, pairs = real_body(
+            (_fl(found), _fl(mps), _fl(qlen), _fl(qdualrank), _fl(qselfrid))
+        )
+        return (
+            counts.reshape(NB, B),
+            n_anchors.reshape(NB, B),
+            max_run.reshape(NB, B),
+            pairs.reshape(NB, B, -1),
+        )
+
     if sup_vmap:
         # batch the super axis: the anchor-slot DP scan and the big
         # sorts run ONCE over [SUP*B, ...] lanes instead of SUP
@@ -1697,7 +1758,7 @@ map_found_many = functools.partial(
         "use_pallas", "pallas_block", "pallas_interpret",
         "with_spans", "min_cnt", "want_pairs",
         "packed_rid_bits", "packed_dict_bits", "sup_vmap", "profile_stage",
-        "rank_postings",
+        "rank_postings", "flatten",
     ),
 )(map_found_many_core)
 
@@ -1743,6 +1804,7 @@ def sketch_map_many_core(
     idx_tlen=None,
     dp_chunk=1,
     cuckoo_bits=0,
+    flatten=False,
 ):
     """Whole ONT pipeline — sketch + lookup + map — in ONE program.
 
@@ -1770,6 +1832,37 @@ def sketch_map_many_core(
             q_occ_frac=q_occ_frac, cuckoo_bits=cuckoo_bits,
             dict_occ_bits=packed_dict_bits,
         )
+
+    if flatten:
+        # one [NB*B]-row pass for BOTH halves: the chain DP's
+        # while_loop then pays the global max anchor bound once
+        # instead of per-slot bounds summed (see map_found_many_core),
+        # and the anchor-count row sort below becomes unnecessary —
+        # there is only one DP, so per-slot homogeneity buys nothing
+        fo_f, mps_f, mc_f = sk_body(
+            (codes.reshape(NB * B, L), lengths.reshape(NB * B))
+        )
+        counts, n_anchors, max_run, pairs = map_found_core(
+            fo_f, mps_f,
+            lengths.reshape(NB * B),
+            qdualrank.reshape(NB * B),
+            qselfrid.reshape(NB * B),
+            lo_plane, hi_plane, idx_rid, idx_pos, idx_pos, idx_rank,
+            chn_pen_gap,
+            k=k, max_gap=max_gap, bw=bw, min_score=min_score,
+            num_anchors=num_anchors, window=window, no_dual=no_dual,
+            no_diag=no_diag, max_chain_skip=max_chain_skip,
+            packed_pos=packed_pos, use_pallas=False, pallas_block=8,
+            pallas_interpret=False, with_spans=False, min_cnt=min_cnt,
+            want_pairs=want_pairs, packed_rid_bits=packed_rid_bits,
+            packed_dict_bits=packed_dict_bits, want_extents=want_extents,
+            overhang_ratio=overhang_ratio, filter_mode=filter_mode,
+            idx_tlen=idx_tlen, dp_chunk=dp_chunk, rank_postings=True,
+        )
+        packed = jnp.stack(
+            [counts, n_anchors, max_run, mc_f], axis=-1
+        ).reshape(NB, B, 4)
+        return packed, pairs.reshape(NB, B, -1)
 
     found, mps, mcount = jax.lax.map(sk_body, (codes, lengths))
     M = found.shape[-1]
@@ -1845,7 +1938,7 @@ sketch_map_many = functools.partial(
         "no_dual", "no_diag", "max_chain_skip", "packed_pos",
         "min_cnt", "want_pairs", "packed_rid_bits", "packed_dict_bits",
         "sort_rows", "want_extents", "overhang_ratio", "filter_mode", "dp_chunk",
-        "cuckoo_bits",
+        "cuckoo_bits", "flatten",
     ),
 )(sketch_map_many_core)
 
@@ -2021,16 +2114,29 @@ class GroupedDeviceIndex:
                 uoff = lc  # the lookup's occurrence-gate plane
                 bucket_bits = 0
                 boff = np.zeros(1, dtype=np.int32)
+        # skip uploading planes the compiled programs never read: under
+        # the packed layouts rid/pos live inside ``rps`` and lo/hi
+        # inside ``loocc`` — the dummies keep the dataclass shape while
+        # saving ~100 MB of HBM + transfer on a bench-sized index
+        _dummy = jnp.zeros((1,), jnp.int32)
         return cls(
-            rid=jnp.asarray(rid_g),
-            pos=jnp.asarray(pos_g),
+            rid=_dummy if packed_rid_bits else jnp.asarray(rid_g),
+            pos=_dummy if packed_rid_bits else jnp.asarray(pos_g),
             rank=jnp.asarray(index.name_rank.astype(np.int32)),
             mid_occ=int(index.mid_occ),
             uhash=jnp.asarray(uh_planes[0]),
             uoff=jnp.asarray(uoff),
             boff=jnp.asarray(boff),
-            lo=[jnp.asarray(soff[:, s].copy()) for s in range(n_sub)],
-            hi=[jnp.asarray(soff[:, s + 1].copy()) for s in range(n_sub)],
+            lo=(
+                [_dummy] * n_sub
+                if packed_dict_bits
+                else [jnp.asarray(soff[:, s].copy()) for s in range(n_sub)]
+            ),
+            hi=(
+                [_dummy] * n_sub
+                if packed_dict_bits
+                else [jnp.asarray(soff[:, s + 1].copy()) for s in range(n_sub)]
+            ),
             bucket_bits=bucket_bits,
             bucket_kmax=kmax,
             n_sub=n_sub,
@@ -2088,7 +2194,7 @@ def pb_lookup_core(
 
 def pb_lookup_many_core(
     qhi, qlo, uh_hi, uh_lo, uoff, boff, mid_occ, *, hash_bits, bucket_bits,
-    bucket_kmax, q_occ_frac, sup_vmap=False,
+    bucket_kmax, q_occ_frac, sup_vmap=False, flatten=False,
 ):
     def real_body(args):
         hi, lo = args
@@ -2097,6 +2203,13 @@ def pb_lookup_many_core(
             hash_bits=hash_bits, bucket_bits=bucket_bits,
             bucket_kmax=bucket_kmax, q_occ_frac=q_occ_frac,
         )
+
+    if flatten:
+        # one [NB*B]-row pass (see sketch_lookup_many_core)
+        NB, B, M = qhi.shape
+        return real_body(
+            (qhi.reshape(NB * B, M), qlo.reshape(NB * B, M))
+        ).reshape(NB, B, M)
 
     if sup_vmap:
         # batch the super axis (see sketch_lookup_many_core)
@@ -2118,5 +2231,6 @@ pb_lookup_many = functools.partial(
     jax.jit,
     static_argnames=(
         "hash_bits", "bucket_bits", "bucket_kmax", "q_occ_frac", "sup_vmap",
+        "flatten",
     ),
 )(pb_lookup_many_core)

@@ -248,8 +248,18 @@ def sharded_count_fn(
     packed_rid_bits=0,
     packed_dict_bits=0,
     want_pairs=True,
+    no_collectives=False,
 ):
     """Build the jitted ring-counting function over ``mesh``.
+
+    ``no_collectives`` compiles a TIMING-ONLY variant with every
+    collective (ring ppermute, psum/pmax merge, pair all_gather)
+    removed while the per-device compute is unchanged: comparing its
+    wall time against the real program isolates the collective share of
+    a dispatch, which is what an N-host scaling-efficiency
+    extrapolation needs (BASELINE.md: >=0.8 at 2 hosts).  Its COUNTS
+    ARE WRONG (each block only sees its home shards) — never use it
+    for results.
 
     Returns ``fn(idx_tree, q0, q1, mps, qlen, qdualrank, qselfrid,
     mid_occ, chn_pen_gap) -> (counts [B], n_anchors [B], max_run [B],
@@ -334,13 +344,21 @@ def sharded_count_fn(
             mr = jnp.maximum(mr, r)
             if want_pairs:
                 pairs = jax.lax.dynamic_update_slice(pairs, pr, (0, step * PM))
-            if n_data > 1:
+            if n_data > 1 and not no_collectives:
                 # rotate block + accumulators one row forward; after
                 # n_data hops everything is back on its home row
                 perm = [(i, (i + 1) % n_data) for i in range(n_data)]
                 rot = lambda x: jax.lax.ppermute(x, "data", perm)
                 block = jax.tree.map(rot, (c0, c1, cmps, cql, cqd, cqs, ckeep))
                 counts, na, mr, pairs = jax.tree.map(rot, (counts, na, mr, pairs))
+
+        if no_collectives:
+            # timing-only: same compute, no merge — pad pairs to the
+            # real program's output shape
+            allp = jnp.concatenate(
+                [pairs] * n_index, axis=1
+            ) if n_index > 1 else pairs
+            return counts, na, mr, allp
 
         # ---- disjoint target shards: merge over ICI ----
         counts = jax.lax.psum(counts, axis_name="index")

@@ -61,7 +61,10 @@ def _machine_tag() -> str:
         ver = jax.__version__
     except Exception:
         ver = "nojax"
-    opt = os.environ.get("XLA_FLAGS", "")
+    # normalize the flag set (split, strip, sort) so semantically
+    # identical XLA_FLAGS differing in order/whitespace share a
+    # namespace; the empty set normalizes to "" (same tag as unset)
+    opt = " ".join(sorted(os.environ.get("XLA_FLAGS", "").split()))
     parts.append(
         hashlib.sha1(f"{ver}|{opt}".encode()).hexdigest()[:10]
     )

@@ -64,8 +64,70 @@ def main():
     t0 = time.perf_counter()
     res = run()
     dt = time.perf_counter() - t0
+
+    # ---- collective-vs-compute split (VERDICT r4 item 8) ----
+    # Time ONE sharded dispatch with and without its collectives (the
+    # no_collectives variant keeps per-device compute identical, see
+    # parallel/sharded.py) so the 2-host efficiency claim extrapolates
+    # from a measured per-dispatch collective share instead of a noisy
+    # whole-pass wall ratio.  Lockstep-safe: every process runs the
+    # same dispatches in the same order.
+    split_line = ""
+    if dev.sharded is not None and os.environ.get("PROXY_SPLIT", "1") == "1":
+        import jax.numpy as jnp
+
+        from lrge_tpu.ops.encode import make_batches
+        from lrge_tpu.ops.overlap_jax import sketch_many
+        from lrge_tpu.parallel.sharded import sharded_count_fn
+
+        L = dev.length_buckets[0]
+        B = dev.batch_size
+        (batch,) = make_batches(
+            queries[:B], ids=list(range(min(B, len(queries)))),
+            batch_size=B, pad_to=L, pow2_lengths=False, pad_batch=True,
+        )
+        codes = jnp.asarray(batch.codes[None])
+        lengths = jnp.asarray(batch.lengths[None])
+        mhash, mpos, mstrand, _mc = sketch_many(
+            codes, lengths, k=dev.params.k, w=dev.params.w
+        )
+        q1 = jnp.zeros(mhash.shape[:2] + (1,), jnp.int32)
+        mpsd = mpos * 2 + mstrand
+        zeros = jnp.zeros((B,), jnp.int32)
+        args = (
+            dev._idx_tree, mhash[0], q1[0], mpsd[0], lengths[0],
+            zeros, jnp.full((B,), -1, jnp.int32),
+            jnp.int32(dev.sharded.mid_occ),
+            jnp.float32(dev.params.chn_pen_gap()),
+        )
+        fn_full = dev._sharded_fn_for(dev.num_anchors)
+        fn_nc = sharded_count_fn(
+            dev._mesh, num_anchors=dev.num_anchors,
+            no_collectives=True, **dev._sharded_kwargs,
+        )
+
+        def best_of(fn, reps=3):
+            jax.block_until_ready(fn(*args))  # compile
+            ts = []
+            for _ in range(reps):
+                t1 = time.perf_counter()
+                jax.block_until_ready(fn(*args))
+                ts.append(time.perf_counter() - t1)
+            return min(ts)
+
+        t_full = best_of(fn_full)
+        t_nc = best_of(fn_nc)
+        share = max(0.0, (t_full - t_nc) / t_full) if t_full > 0 else 0.0
+        split_line = (
+            f" dispatch_full={t_full*1000:.1f}ms"
+            f" dispatch_nocoll={t_nc*1000:.1f}ms coll_share={share:.2f}"
+        )
+
     if jax.process_index() == 0:
-        print(f"PROXY t={dt:.3f} sum={int(res.counts.sum())}", flush=True)
+        print(
+            f"PROXY t={dt:.3f} sum={int(res.counts.sum())}{split_line}",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

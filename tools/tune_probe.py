@@ -41,10 +41,15 @@ for cfg in configs:
     kv = dict(item.split("=") for item in cfg.split(","))
     for env in ("LRGE_DEVICE_BATCH", "LRGE_DEVICE_SUPER", "LRGE_DEVICE_WINDOW",
                 "LRGE_DEVICE_ANCHORS", "LRGE_DEVICE_BUCKET", "LRGE_SUP_VMAP",
-                "LRGE_HOST_SHARE", "LRGE_DP_CHUNK"):
+                "LRGE_HOST_SHARE", "LRGE_DP_CHUNK", "LRGE_NO_FLAT",
+                "LRGE_NO_FUSED"):
         os.environ.pop(env, None)
     if "DPC" in kv:
         os.environ["LRGE_DP_CHUNK"] = kv["DPC"]
+    if kv.get("FLAT") == "0":
+        os.environ["LRGE_NO_FLAT"] = "1"
+    if kv.get("FUSED") == "0":
+        os.environ["LRGE_NO_FUSED"] = "1"
     if "VMAP" in kv:
         os.environ["LRGE_SUP_VMAP"] = kv["VMAP"]
     if "SHARE" in kv:
