@@ -216,6 +216,59 @@ def main():
         ph = {k: round(v, 2) for k, v in engine.last_phases.items()}
         print(f"[bench] phases: {ph}", file=sys.stderr)
 
+    # ---- real-read throughput (VERDICT r4 item 5) ----
+    # The synthetic corpus controls the workload; this section runs the
+    # SAME T=10k/Q=5k configuration on real ONT reads (toy.bam's 500
+    # reads resampled, lengths 8-32,437 bp) so the JSON carries a
+    # real-read q/s alongside the synthetic one.  Counts are
+    # host-verified on a sample.  BENCH_REALREAD=0 skips.
+    real = {}
+    toy = "/root/reference/lrge/tests/data/toy.bam"
+    if os.environ.get("BENCH_REALREAD", "1") == "1" and os.path.exists(toy):
+        from lrge_tpu.io import iter_records
+
+        reads = [sq for _, sq in iter_records(toy)]
+        rrng = np.random.default_rng(6)
+        perm = rrng.permutation(n_targets + n_queries) % len(reads)
+        r_targets = [reads[i] for i in perm[:n_targets]]
+        r_queries = [reads[i] for i in perm[n_targets:]]
+        rt_names = [b"rt%d" % i for i in range(n_targets)]
+        rq_names = [b"rq%d" % i for i in range(n_queries)]
+        t0 = time.perf_counter()
+        r_index = build_index(r_targets, rt_names, params)
+        r_tindex = time.perf_counter() - t0
+        r_engine = DeviceOverlapEngine(index=r_index, batch_size=128, num_anchors=4096, window=int(os.environ.get("BENCH_WINDOW", 32)))
+        t0 = time.perf_counter()
+        r_engine.warmup([len(q) for q in r_queries])
+        r_twarm = time.perf_counter() - t0
+        r_times = []
+        r_res = None
+        for _ in range(reps):
+            t1 = time.perf_counter()
+            r_res = r_engine.count_batch(rq_names, r_queries)
+            r_times.append(time.perf_counter() - t1)
+        r_tmap = min(r_times)
+        sample = np.random.default_rng(1).choice(n_queries, size=100, replace=False)
+        r_host = [
+            c for c, _ in r_engine.host.count_overlaps_many(
+                [(rq_names[i], r_queries[i]) for i in sample]
+            )
+        ]
+        if not np.array_equal(r_res.counts[sample], r_host):
+            raise SystemExit("[bench] FATAL: real-read device counts != host")
+        real = {
+            "realread_qps": round(n_queries / r_tmap, 1),
+            "realread_map_s": round(r_tmap, 3),
+            "realread_index_s": round(r_tindex, 2),
+            "realread_warmup_s": round(r_twarm, 1),
+            "realread_fallback_rows": int(r_res.fallback_rows),
+        }
+        print(
+            f"[bench] real reads (toy.bam resample): {r_tmap:.2f}s "
+            f"({real['realread_qps']:.0f} q/s), fallback={r_res.fallback_rows}",
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {
@@ -265,6 +318,8 @@ def main():
                     ),
                     # persistent-cache effectiveness during warmup
                     "compile_cache": cache_stats(),
+                    # real-read section (toy.bam resampled to T=10k/Q=5k)
+                    **real,
                 },
             }
         )

@@ -204,6 +204,17 @@ class DeviceOverlapEngine:
             and not self.use_pallas
             and not self.sup_vmap
         )
+        # DP chunking: unroll C anchors per while_loop iteration.  The
+        # loop's per-iteration overhead dominates at [R, W] step shapes
+        # on the TPU (tools/tune_probe 2026-08-21: DPC=4 cut the
+        # device-only map 0.78 s -> 0.52 s); CPU keeps C=1 — the test
+        # backend pays compile time per unrolled copy for no win.
+        if "LRGE_DP_CHUNK" in os.environ:
+            self.dp_chunk = int(os.environ["LRGE_DP_CHUNK"])
+        else:
+            import jax as _jax
+
+            self.dp_chunk = 4 if _jax.default_backend() != "cpu" else 1
         self.pallas_block = math.gcd(
             batch_size, int(os.environ.get("LRGE_PALLAS_BLOCK", "8"))
         )
@@ -267,6 +278,7 @@ class DeviceOverlapEngine:
                         bucket_kmax=sgi.bucket_kmax,
                         packed_rid_bits=sgi.packed_rid_bits,
                         packed_dict_bits=sgi.packed_dict_bits,
+                        dp_chunk=self.dp_chunk,
                     )
                     self._sharded_fns = {}
                     self._sharded_fn = self._sharded_fn_for(num_anchors)
@@ -858,11 +870,13 @@ class DeviceOverlapEngine:
                 continue
             # constant batch width across buckets (full [B, A] rows keep
             # the gather/sort stages occupied); anchor capacity scales
-            # with read length, dispatch depth shrinks to compensate
-            scale = L // self.length_buckets[0]
+            # with the PADDED LENGTH (anchors ~0.5*len on the bench
+            # corpus, p99 ~1.0*len, so A = num_anchors*L/4096 = L at the
+            # default — independent of which buckets exist), and
+            # dispatch depth shrinks to keep group work roughly constant
             B = self.batch_size
-            A = self.num_anchors * scale
-            SUP = max(1, SUPER // scale)
+            A = min(1 << 15, max(512, (self.num_anchors * L) // 4096))
+            SUP = max(1, (SUPER * 4096) // L)
             batches = make_batches(
                 [seqs[i] for i in rows_b],
                 ids=rows_b,
@@ -924,13 +938,21 @@ class DeviceOverlapEngine:
                     and not self.sup_vmap
                     and not self._fused_disabled()
                 ):
+
                     # single-sub ONT fast path: the WHOLE pipeline in one
                     # program (each extra dispatch costs ~25-30 ms of
-                    # host-side relay overhead), one packed output fetch
-                    from .ops.overlap_jax import sketch_map_many
+                    # host-side relay overhead), one packed output fetch.
+                    # Codes upload 2-bit packed when flattening (4x less
+                    # relay transfer; ambiguous-base rows are recomputed
+                    # on host via the sketch-quirk triage either way)
+                    from .ops.overlap_jax import pack2bit_host, sketch_map_many
 
+                    pack_up = (
+                        self.flatten
+                        and _os.environ.get("LRGE_NO_PACKCODES") != "1"
+                    )
                     packed, pr = sketch_map_many(
-                        jnp.asarray(codes),
+                        jnp.asarray(pack2bit_host(codes) if pack_up else codes),
                         jnp.asarray(lengths),
                         jnp.asarray(dual),
                         jnp.asarray(selfr),
@@ -971,8 +993,9 @@ class DeviceOverlapEngine:
                         overhang_ratio=float(filter_ratio or 0.2),
                         filter_mode=filter_mode,
                         idx_tlen=gd.tlen,
-                        dp_chunk=int(_os.environ.get("LRGE_DP_CHUNK", "1")),
+                        dp_chunk=self.dp_chunk,
                         cuckoo_bits=gd.cuckoo_bits,
+                        packed_codes=pack_up,
                     )
                     inflight.append(
                         (nb, B, A, codes, lengths, ids, None, (packed, pr))
@@ -1058,6 +1081,7 @@ class DeviceOverlapEngine:
                             packed_dict_bits=gd.packed_dict_bits,
                             sup_vmap=self.sup_vmap,
                             flatten=self.flatten,
+                            dp_chunk=self.dp_chunk,
                         )
                     )
                 inflight.append((nb, B, A, codes, lengths, ids, mcount_d, subs))

@@ -103,6 +103,31 @@ def _gatherw(table: jnp.ndarray, idx: jnp.ndarray, w: int) -> jnp.ndarray:
     return jnp.stack(cols, axis=-1)
 
 
+def _unpack2bit(codes_p: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Expand 2-bit-packed base codes ``[..., L//4] uint8`` to
+    ``[..., L] uint8`` (4 bases per byte, little-endian within the
+    byte).  Ambiguity is NOT representable — the host packs ``code&3``
+    and recomputes ambiguous-base rows exactly (the sketch-quirk
+    triage runs on the UNPACKED host-side plane), so the device only
+    ever needs ACGT + the length mask.  Packing quarters the
+    host->device transfer for the dominant input plane."""
+    shifts = jnp.arange(0, 8, 2, dtype=jnp.uint8)
+    u = (codes_p[..., :, None] >> shifts) & jnp.uint8(3)
+    return u.reshape(*codes_p.shape[:-1], codes_p.shape[-1] * 4)[..., :L]
+
+
+def pack2bit_host(codes: np.ndarray) -> np.ndarray:
+    """Host-side packer matching :func:`_unpack2bit` (numpy, code&3;
+    the length axis must be a multiple of 4)."""
+    c = codes & 3
+    return (
+        c[..., 0::4]
+        | (c[..., 1::4] << 2)
+        | (c[..., 2::4] << 4)
+        | (c[..., 3::4] << 6)
+    ).astype(np.uint8)
+
+
 def mg_log2_jax(x: jnp.ndarray) -> jnp.ndarray:
     """minimap2's fast f32 log2 (bit trick), matching chain.mg_log2."""
     bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
@@ -414,52 +439,57 @@ def _expand_sort_chain(
     W = window
 
     # ---- 2. anchor expansion ----
-    # gathers dominate this pipeline on TPU (measured: take_along over
-    # [B,A] ~18ns/elem), so the per-anchor minimizer attributes are
-    # pre-combined into TWO gatherable planes: ``adj`` (the posting
-    # offset arithmetic folded into one i32) and ``mps`` (query end
-    # position and strand packed).
+    # random access dominates this pipeline on TPU (the gather/scatter
+    # kernels run at ~20-50 M elem/s regardless of bandwidth), so the
+    # expansion uses the cheapest mix measured: TWO [B, M]-update
+    # scatters (one per per-anchor attribute) and a log-depth gap fill,
+    # with ZERO [B, A] gathers.  Each live minimizer drops ``adj`` (its
+    # posting-offset arithmetic folded into one i32, biased +A+1 so
+    # every scattered value is >= 1) and ``mps`` (query pos/strand,
+    # biased +1) at its first anchor slot — live prev_cums are strictly
+    # increasing, so the scatters are collision-free and non-live lanes
+    # scatter 0 into slot 0, discarded by max — then a doubling
+    # fill-forward replicates each run-start value across its
+    # [prev_cum, cum) range (every anchor slot < total belongs to some
+    # run, so "nearest earlier nonzero" is exactly the owner).  This
+    # replaced a scatter + cummax + two [B, A]<-[B, M] gathers:
+    # measured 178 ms of gathers -> ~46 ms of second scatter per
+    # 4096-row dispatch on v5e (tools/stage_probe3.py 2026-08-21).
     cum = jnp.cumsum(occ, axis=1)
     total = cum[:, -1]
     slots = jnp.arange(A, dtype=jnp.int32)
-    # Per-anchor minimizer attributes WITHOUT a searchsorted or any
-    # [B,A]<-[B,M] take_along (each lowers to slow gathers; measured
-    # 0.47s + 2x0.076s of a 0.95s dispatch on v5e): scatter each live
-    # minimizer's ``adj`` (posting-offset arithmetic folded into one
-    # i32) and ``mps`` (query pos/strand) to its first anchor slot —
-    # live minimizers have strictly increasing prev_cum, so the scatter
-    # is collision-free — then fill each [prev_cum, cum) range with a
-    # log-depth fill-forward.
     prev_cum = cum - occ
     live = (occ > 0) & (prev_cum < A)
     tgt = jax.lax.optimization_barrier(jnp.where(live, prev_cum, 0))
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-    adj = start - cum + occ
+    adj = start - cum + occ  # >= -A (start >= 0, prev_cum <= A)
     # barriers around the scatter operands/results keep XLA from fusing
     # the index arithmetic into the scatter kernel (same scalarisation
     # hazard as _gather1)
     _bar = jax.lax.optimization_barrier
-    # ONE scatter drops each live minimizer's id (+1) at its first
-    # anchor slot (collision-free: live prev_cums are strictly
-    # increasing; non-live lanes scatter 0 into slot 0, discarded by
-    # max).  A native cummax then fills each [prev_cum, cum) run with
-    # its owner id — ids increase along the axis, so the running max
-    # at slot a is exactly the last run start at or before a — and the
-    # per-minimizer attributes follow with two flat gathers from the
-    # [B, M] planes.  (Replaces a 3-scatter + unrolled
-    # associative_scan fill-forward: far smaller HLO, same values.)
-    m_ids = jnp.broadcast_to(
-        jnp.arange(M, dtype=jnp.int32)[None, :], (B, M)
-    )
-    sc_m = _bar(
+    OFF = jnp.int32(A + 1)
+    s_adj = _bar(
         jnp.zeros((B, A), jnp.int32).at[rows, tgt].max(
-            _bar(jnp.where(live, m_ids + 1, 0))
+            _bar(jnp.where(live, adj + OFF, 0))
         )
     )
-    m_f = jnp.maximum(jax.lax.cummax(sc_m, axis=1) - 1, 0)  # [B, A] owner
-    flat_idx = rows * M + m_f
-    adj_f = _gather1(adj.reshape(-1), flat_idx)
-    mps_f = _gather1(mps.reshape(-1), flat_idx)
+    s_mps = _bar(
+        jnp.zeros((B, A), jnp.int32).at[rows, tgt].max(
+            _bar(jnp.where(live, mps + 1, 0))
+        )
+    )
+
+    def _fill_forward(x):
+        # nearest earlier nonzero, log2(A) shift+select passes
+        d = 1
+        while d < A:
+            sh = jnp.pad(x[:, :-d], ((0, 0), (d, 0)))
+            x = jnp.where(x == 0, sh, x)
+            d *= 2
+        return x
+
+    adj_f = _fill_forward(s_adj) - OFF
+    mps_f = _fill_forward(s_mps) - 1
     valid = slots[None, :] < jnp.minimum(total, A)[:, None]
     p_idx = slots[None, :] + adj_f
     p_idx = jnp.clip(p_idx, 0, max(N - 1, 0))
@@ -1452,6 +1482,7 @@ def sketch_lookup_core(
     q_occ_frac,
     cuckoo_bits=0,
     dict_occ_bits=0,
+    want_ranges=False,
 ):
     """Sketch + index lookup + seed filters in one program.
 
@@ -1465,6 +1496,13 @@ def sketch_lookup_core(
     ``uoff`` the cuckoo-space packed (start << dict_occ_bits) | occ
     plane: the probe is 2 gathers and the occurrence gate 1 (the
     bucketed path costs kmax + 4).
+
+    ``want_ranges`` additionally returns the per-minimizer posting
+    range ``(lo, occ)`` the occurrence gate already fetched (occ forced
+    to 0 on gated slots), so a same-program consumer (the fused
+    single-sub pipeline) need not re-gather the dictionary planes.
+    Only valid for single-sub layouts, where the lookup's ranges ARE
+    the map's.
     """
     from .sketch_jax import sketch_core
 
@@ -1480,6 +1518,7 @@ def sketch_lookup_core(
         occg = jnp.where(
             found >= 0, loocc & ((1 << dict_occ_bits) - 1), 0
         ).astype(jnp.int32)
+        lo = loocc >> dict_occ_bits
     else:
         found = _dict_lookup(
             mhash, uhash, boff, k=k, bucket_bits=bucket_bits, bucket_kmax=bucket_kmax
@@ -1487,6 +1526,7 @@ def sketch_lookup_core(
         fc = jnp.maximum(found, 0)
         uo = _gatherw(uoff, fc, 2)  # consecutive offsets: one windowed fetch
         occg = jnp.where(found >= 0, uo[..., 1] - uo[..., 0], 0).astype(jnp.int32)
+        lo = uo[..., 0]
     gate = (found >= 0) & (occg > 0) & (occg <= mid_occ)
     gate = gate & (mhash != jnp.uint32(0xFFFFFFFF))
 
@@ -1496,6 +1536,8 @@ def sketch_lookup_core(
 
     found = jnp.where(gate, found, -1)
     mps = mpos * 2 + mstrand
+    if want_ranges:
+        return found, mps, mcount, lo, jnp.where(gate, occg, 0)
     return found, mps, mcount
 
 
@@ -1600,19 +1642,26 @@ def map_found_core(
     dp_chunk=1,
     profile_stage="",
     rank_postings=False,
+    pre_ranges=None,
 ):
-    fc = jnp.maximum(found, 0)
-    if packed_dict_bits:
-        # lo_plane packs (range_start << bits) | occ: ONE [B, M] gather
-        lo_occ = _gather1(lo_plane, fc)
-        lo = lo_occ >> packed_dict_bits
-        occ = jnp.where(
-            found >= 0, lo_occ & ((1 << packed_dict_bits) - 1), 0
-        ).astype(jnp.int32)
+    if pre_ranges is not None:
+        # same-program caller (fused single-sub pipeline) already holds
+        # the ranges from the lookup's occurrence gate — skip the
+        # dictionary re-gather entirely
+        lo, occ = pre_ranges
     else:
-        lo = _gather1(lo_plane, fc)
-        hi = _gather1(hi_plane, fc)
-        occ = jnp.where(found >= 0, hi - lo, 0).astype(jnp.int32)
+        fc = jnp.maximum(found, 0)
+        if packed_dict_bits:
+            # lo_plane packs (range_start << bits) | occ: ONE [B, M] gather
+            lo_occ = _gather1(lo_plane, fc)
+            lo = lo_occ >> packed_dict_bits
+            occ = jnp.where(
+                found >= 0, lo_occ & ((1 << packed_dict_bits) - 1), 0
+            ).astype(jnp.int32)
+        else:
+            lo = _gather1(lo_plane, fc)
+            hi = _gather1(hi_plane, fc)
+            occ = jnp.where(found >= 0, hi - lo, 0).astype(jnp.int32)
     return _expand_sort_chain(
         lo,
         occ,
@@ -1688,6 +1737,7 @@ def map_found_many_core(
     profile_stage="",
     rank_postings=True,
     flatten=False,
+    dp_chunk=1,
 ):
     def real_body(args):
         fo, mp, ql, qd, qs = args
@@ -1702,6 +1752,7 @@ def map_found_many_core(
             with_spans=with_spans, min_cnt=min_cnt, want_pairs=want_pairs,
             packed_rid_bits=packed_rid_bits, packed_dict_bits=packed_dict_bits,
             profile_stage=profile_stage, rank_postings=rank_postings,
+            dp_chunk=dp_chunk,
         )
 
     def empty_body(args):
@@ -1758,7 +1809,7 @@ map_found_many = functools.partial(
         "use_pallas", "pallas_block", "pallas_interpret",
         "with_spans", "min_cnt", "want_pairs",
         "packed_rid_bits", "packed_dict_bits", "sup_vmap", "profile_stage",
-        "rank_postings", "flatten",
+        "rank_postings", "flatten", "dp_chunk",
     ),
 )(map_found_many_core)
 
@@ -1805,8 +1856,13 @@ def sketch_map_many_core(
     dp_chunk=1,
     cuckoo_bits=0,
     flatten=False,
+    packed_codes=False,
 ):
     """Whole ONT pipeline — sketch + lookup + map — in ONE program.
+
+    With ``packed_codes``, ``codes`` arrives 2-bit packed
+    ([NB, B, L//4] uint8; see :func:`_unpack2bit`) and is expanded
+    on-device — the dominant host->device transfer shrinks 4x.
 
     The common production case is a single sub-index; splitting sketch
     from map then costs an extra dispatch per super-batch, and each
@@ -1823,6 +1879,9 @@ def sketch_map_many_core(
     mcount) so the host fetches ONE array (plus pairs when collecting).
     """
     NB, B, L = codes.shape
+    if packed_codes:
+        L = L * 4
+        codes = _unpack2bit(codes, L)
 
     def sk_body(args):
         c, ln = args
@@ -1838,9 +1897,17 @@ def sketch_map_many_core(
         # while_loop then pays the global max anchor bound once
         # instead of per-slot bounds summed (see map_found_many_core),
         # and the anchor-count row sort below becomes unnecessary —
-        # there is only one DP, so per-slot homogeneity buys nothing
-        fo_f, mps_f, mc_f = sk_body(
-            (codes.reshape(NB * B, L), lengths.reshape(NB * B))
+        # there is only one DP, so per-slot homogeneity buys nothing.
+        # The lookup's occurrence gate already fetched each minimizer's
+        # posting range, and single-sub layouts share it with the map —
+        # thread (lo, occ) through instead of re-gathering (measured
+        # ~68 ms of dictionary re-fetch per 4096-row dispatch on v5e).
+        fo_f, mps_f, mc_f, lo_f, occ_f = sketch_lookup_core(
+            codes.reshape(NB * B, L), lengths.reshape(NB * B),
+            uhash, uoff, boff, mid_occ,
+            k=k, w=w, bucket_bits=bucket_bits, bucket_kmax=bucket_kmax,
+            q_occ_frac=q_occ_frac, cuckoo_bits=cuckoo_bits,
+            dict_occ_bits=packed_dict_bits, want_ranges=True,
         )
         counts, n_anchors, max_run, pairs = map_found_core(
             fo_f, mps_f,
@@ -1858,6 +1925,7 @@ def sketch_map_many_core(
             packed_dict_bits=packed_dict_bits, want_extents=want_extents,
             overhang_ratio=overhang_ratio, filter_mode=filter_mode,
             idx_tlen=idx_tlen, dp_chunk=dp_chunk, rank_postings=True,
+            pre_ranges=(lo_f, occ_f),
         )
         packed = jnp.stack(
             [counts, n_anchors, max_run, mc_f], axis=-1
@@ -1938,7 +2006,7 @@ sketch_map_many = functools.partial(
         "no_dual", "no_diag", "max_chain_skip", "packed_pos",
         "min_cnt", "want_pairs", "packed_rid_bits", "packed_dict_bits",
         "sort_rows", "want_extents", "overhang_ratio", "filter_mode", "dp_chunk",
-        "cuckoo_bits", "flatten",
+        "cuckoo_bits", "flatten", "packed_codes",
     ),
 )(sketch_map_many_core)
 

@@ -249,6 +249,7 @@ def sharded_count_fn(
     packed_dict_bits=0,
     want_pairs=True,
     no_collectives=False,
+    dp_chunk=1,
 ):
     """Build the jitted ring-counting function over ``mesh``.
 
@@ -337,7 +338,7 @@ def sharded_count_fn(
                 packed_pos=True, use_pallas=False, pallas_block=8,
                 pallas_interpret=False, with_spans=wide, min_cnt=min_cnt,
                 want_pairs=want_pairs, packed_rid_bits=packed_rid_bits,
-                rank_postings=True,
+                rank_postings=True, dp_chunk=dp_chunk,
             )
             counts = counts + c
             na = jnp.maximum(na, a)

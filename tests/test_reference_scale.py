@@ -36,8 +36,11 @@ pytestmark = [
 # Pinned by this implementation's host engine (PARITY.md §Environment:
 # no Rust toolchain exists in-image to cross-run the reference); the
 # value is a drift tripwire between rounds, and host==device is the
-# real assertion.
-PINNED = "1336920"
+# real assertion.  NOTE the value is NOT a genome-size accuracy claim:
+# the corpus duplicates each real read ~30x, which inflates per-read
+# overlap counts and deflates the estimate correspondingly — what this
+# run pins is the pipeline's numerics at the published T/Q scale.
+PINNED = "1361055"
 
 
 def _write_corpus(path, n_reads=15_000):
