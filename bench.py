@@ -229,9 +229,29 @@ def main():
 
         reads = [sq for _, sq in iter_records(toy)]
         rrng = np.random.default_rng(6)
-        perm = rrng.permutation(n_targets + n_queries) % len(reads)
-        r_targets = [reads[i] for i in perm[:n_targets]]
-        r_queries = [reads[i] for i in perm[n_targets:]]
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+        def resample(n):
+            # 500 unique reads can't fill 15k slots without ~30x
+            # duplication, and EXACT duplicates are pathological (every
+            # minimizer shared by ~30 reads -> occurrence blowup ->
+            # anchor overflow on most rows).  Real runs never contain
+            # identical reads, so each copy gets independent 1.5%
+            # substitutions — real length/content distribution, sane
+            # occurrence structure.
+            out = []
+            for i in rrng.permutation(n * 2)[:n] % len(reads):
+                arr = np.frombuffer(reads[i], dtype=np.uint8).copy()
+                ne = rrng.binomial(len(arr), 0.015)
+                if ne:
+                    arr[rrng.integers(0, len(arr), size=ne)] = bases[
+                        rrng.integers(0, 4, size=ne)
+                    ]
+                out.append(arr.tobytes())
+            return out
+
+        r_targets = resample(n_targets)
+        r_queries = resample(n_queries)
         rt_names = [b"rt%d" % i for i in range(n_targets)]
         rq_names = [b"rq%d" % i for i in range(n_queries)]
         t0 = time.perf_counter()

@@ -94,7 +94,7 @@ def prime_fetch_async() -> None:
 # >32 kb ultralong tail).  Sparse buckets still route to the host
 # (LRGE_DEVICE_MIN_ROWS), so corpora without long reads never pay the
 # 32 kb program's compile.
-LENGTH_BUCKETS = (4096, 8192, 16384, 32768)
+LENGTH_BUCKETS = (2048, 4096, 8192, 16384, 32768)
 
 
 @dataclass
@@ -124,7 +124,7 @@ class DeviceOverlapEngine:
         num_anchors: int = 4096,
         window: int = 32,
         length_buckets: tuple = LENGTH_BUCKETS,
-        super_batch: int = 8,
+        super_batch: int = 4,
         local_only: bool = False,
     ):
         """``local_only``: build the (possibly sharded) device index
@@ -153,8 +153,12 @@ class DeviceOverlapEngine:
             if jax.default_backend() == "cpu":
                 # the CPU backend serves tests and the multi-chip dry
                 # run; compiling the big-bucket XLA scan there takes
-                # minutes for no coverage gain
-                length_buckets = length_buckets[:1]
+                # minutes for no coverage gain.  Keep the 4096 bucket
+                # (not the smallest) so the standard 2-2.5 kb test
+                # corpora still exercise the device path.
+                length_buckets = (
+                    (4096,) if 4096 in length_buckets else length_buckets[:1]
+                )
         from .utils.jaxcache import enable_cache
 
         enable_cache()
@@ -207,14 +211,15 @@ class DeviceOverlapEngine:
         # DP chunking: unroll C anchors per while_loop iteration.  The
         # loop's per-iteration overhead dominates at [R, W] step shapes
         # on the TPU (tools/tune_probe 2026-08-21: DPC=4 cut the
-        # device-only map 0.78 s -> 0.52 s); CPU keeps C=1 — the test
-        # backend pays compile time per unrolled copy for no win.
+        # device-only map 0.78 s -> 0.52 s, DPC=8 to ~0.48; 16 gains
+        # nothing more); CPU keeps C=1 — the test backend pays compile
+        # time per unrolled copy for no win.
         if "LRGE_DP_CHUNK" in os.environ:
             self.dp_chunk = int(os.environ["LRGE_DP_CHUNK"])
         else:
             import jax as _jax
 
-            self.dp_chunk = 4 if _jax.default_backend() != "cpu" else 1
+            self.dp_chunk = 8 if _jax.default_backend() != "cpu" else 1
         self.pallas_block = math.gcd(
             batch_size, int(os.environ.get("LRGE_PALLAS_BLOCK", "8"))
         )
@@ -587,14 +592,17 @@ class DeviceOverlapEngine:
         """Fraction of device-eligible rows handed to the concurrent
         host engine (shortest rows first; counts stay exact either way).
 
-        The default anchors to the measured optimum on a v5e + 2-core
-        host (tools/tune_probe.py 2026-08-18: ~0.65) and scales with
-        host cores: the native count_many kernel's throughput is
-        ~linear in cores while the chip rate is fixed, so the balanced
-        split is ``share(c) = c*r / (c*r + 1)`` with ``r`` calibrated
-        from the 2-core measurement (0.65 = 2r/(2r+1) -> r ~ 0.93).
-        Capped at 0.9 — beyond that the rows handed over are no longer
-        "cheap short reads".  Override with LRGE_HOST_SHARE.
+        The split scales with host cores: the native count_many
+        kernel's throughput is ~linear in cores while the chip rate is
+        fixed, so the balanced split is ``share(c) = c*r / (c*r + 1)``
+        with ``r`` = per-core-host rate / device rate.  The r4 value
+        (r~0.93, 2-core share 0.65) predates the flattened /
+        DP-chunked / gather-free device pipeline, which roughly doubled
+        the chip rate; the 2026-08-21 v5e calibration (tools/tune_probe
+        SHARE sweep at 5000 queries) puts r at ~0.30.  Capped at 0.9 —
+        beyond that the rows handed over are no longer "cheap short
+        reads".  Override the ratio with LRGE_HOST_RATE_RATIO or the
+        share directly with LRGE_HOST_SHARE.
         """
         import os as _os
 
@@ -607,7 +615,7 @@ class DeviceOverlapEngine:
             share = 0.0
         else:
             c = _os.cpu_count() or 2
-            r = 0.93  # per-core host rate / device rate (v5e calibration)
+            r = float(_os.environ.get("LRGE_HOST_RATE_RATIO", "0.30"))
             share = min(0.9, c * r / (c * r + 1.0))
         if pairs_wanted and not self._has_native_pairs():
             # pair collection (ava) needs per-target ids; without the

@@ -188,6 +188,12 @@ class ShardedGroupedIndex:
             return None  # pathological bucket collisions; caller falls back
         # multiple of 4 for compile-cache-key stability (probes masked)
         kmax = (kmax + 3) // 4 * 4
+        # planes the compiled program never reads under the packed
+        # layouts shrink to [S, 1] dummies (saves their device_put)
+        if packed_rid_bits:
+            post1 = np.zeros((S, 1), np.int32)
+        if packed_dict_bits:
+            dict1 = np.zeros((S, 1), np.int32)
         return cls(
             post0=post0,
             post1=post1,

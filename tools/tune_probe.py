@@ -38,7 +38,10 @@ qnames = [b"q%d" % i for i in range(NQ)]
 configs = sys.argv[1:] or ["B=128,SUPER=8"]
 baseline_counts = None
 for cfg in configs:
+    # BUCKET lists use "+" separators inside a config ("BUCKET=2048+4096")
     kv = dict(item.split("=") for item in cfg.split(","))
+    if "BUCKET" in kv:
+        kv["BUCKET"] = kv["BUCKET"].replace("+", ",")
     for env in ("LRGE_DEVICE_BATCH", "LRGE_DEVICE_SUPER", "LRGE_DEVICE_WINDOW",
                 "LRGE_DEVICE_ANCHORS", "LRGE_DEVICE_BUCKET", "LRGE_SUP_VMAP",
                 "LRGE_HOST_SHARE", "LRGE_DP_CHUNK", "LRGE_NO_FLAT",
