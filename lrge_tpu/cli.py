@@ -100,10 +100,13 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar="FLOAT", help="Max overhang/maplen ratio for -F")
     ap.add_argument("--use-min-ref", action="store_true",
                     help="Index the smaller of the Q/T sets (two-set strategy)")
-    ap.add_argument("--engine", choices=["host", "device"], default="host",
-                    help="Overlap engine: host (exact, writes overlaps.paf) or "
-                         "device (TPU pipeline; overlaps.paf written when "
-                         "-C/-D keep the temp dir)")
+    ap.add_argument("--engine", choices=["auto", "host", "device"],
+                    default="auto",
+                    help="Overlap engine: device (TPU pipeline; overlaps.paf "
+                         "written when -C/-D keep the temp dir), host (exact "
+                         "CPU engine, always writes overlaps.paf), or auto "
+                         "(default: device when an accelerator backend is "
+                         "present, host otherwise)")
     ap.add_argument("-q", "--quiet", action="count", default=0,
                     help="-q errors+warnings, -qq errors, -qqq nothing")
     ap.add_argument("-v", "--verbose", action="count", default=0,
@@ -153,6 +156,16 @@ def main(argv=None) -> int:
         import jax
 
         emit_output = jax.process_index() == 0
+
+    if args.engine == "auto":
+        # TPU-native by default: the device pipeline runs whenever an
+        # accelerator backend is present (counts are exact either way —
+        # flagged rows recompute on the host); plain-CPU environments
+        # keep the host engine, whose XLA path would only be slower.
+        import jax
+
+        args.engine = "device" if jax.default_backend() != "cpu" else "host"
+        logger.debug("engine auto-selected: %s", args.engine)
 
     tmp = create_temp_dir(args.temp_dir, args.keep_temp)
     (logger.info if args.keep_temp else logger.debug)(

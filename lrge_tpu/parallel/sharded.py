@@ -353,11 +353,48 @@ def sharded_count_fn(
                 pairs = jax.lax.dynamic_update_slice(pairs, pr, (0, step * PM))
             if n_data > 1 and not no_collectives:
                 # rotate block + accumulators one row forward; after
-                # n_data hops everything is back on its home row
+                # n_data hops everything is back on its home row.  The
+                # ENTIRE riding state travels as ONE ppermute of a
+                # concatenated int32 plane — a per-array tree.map
+                # issued ~11 collectives per hop, and each collective
+                # carries a fixed launch latency (µs on ICI, ms on the
+                # gloo virtual-device backend; the payload itself is
+                # tiny either way)
                 perm = [(i, (i + 1) % n_data) for i in range(n_data)]
-                rot = lambda x: jax.lax.ppermute(x, "data", perm)
-                block = jax.tree.map(rot, (c0, c1, cmps, cql, cqd, cqs, ckeep))
-                counts, na, mr, pairs = jax.tree.map(rot, (counts, na, mr, pairs))
+                parts = [
+                    c0, c1, cmps, cql[:, None], cqd[:, None], cqs[:, None],
+                    ckeep, counts[:, None], na[:, None], mr[:, None], pairs,
+                ]
+                dtypes = [x.dtype for x in parts]
+                widths = [x.shape[1] for x in parts]
+                as_i32 = [
+                    x.astype(jnp.int32)
+                    if x.dtype == jnp.bool_
+                    else (
+                        jax.lax.bitcast_convert_type(x, jnp.int32)
+                        if x.dtype != jnp.int32
+                        else x
+                    )
+                    for x in parts
+                ]
+                state = jax.lax.ppermute(
+                    jnp.concatenate(as_i32, axis=1), "data", perm
+                )
+                out, off = [], 0
+                for dt, wd in zip(dtypes, widths):
+                    piece = state[:, off : off + wd]
+                    off += wd
+                    if dt == jnp.bool_:
+                        piece = piece != 0
+                    elif dt != jnp.int32:
+                        piece = jax.lax.bitcast_convert_type(piece, dt)
+                    out.append(piece)
+                (c0, c1, cmps, cql1, cqd1, cqs1, ckeep,
+                 counts1, na1, mr1, pairs) = out
+                block = (
+                    c0, c1, cmps, cql1[:, 0], cqd1[:, 0], cqs1[:, 0], ckeep,
+                )
+                counts, na, mr = counts1[:, 0], na1[:, 0], mr1[:, 0]
 
         if no_collectives:
             # timing-only: same compute, no merge — pad pairs to the
@@ -368,11 +405,20 @@ def sharded_count_fn(
             return counts, na, mr, allp
 
         # ---- disjoint target shards: merge over ICI ----
-        counts = jax.lax.psum(counts, axis_name="index")
-        na = jax.lax.pmax(na, axis_name="index")
-        mr = jax.lax.pmax(mr, axis_name="index")
-        allp = jax.lax.all_gather(pairs, axis_name="index")  # [S_idx, b, n_data*PM]
-        allp = jnp.transpose(allp, (1, 0, 2)).reshape(b, -1)
+        # ONE all_gather of the concatenated per-shard results, reduced
+        # locally (sum for counts, max for the exactness flags) — the
+        # psum + 2 pmax + all_gather it replaces cost 4 collective
+        # launches for the same bytes
+        merged = jax.lax.all_gather(
+            jnp.concatenate(
+                [counts[:, None], na[:, None], mr[:, None], pairs], axis=1
+            ),
+            axis_name="index",
+        )  # [S_idx, b, 3 + n_data*PM]
+        counts = jnp.sum(merged[:, :, 0], axis=0)
+        na = jnp.max(merged[:, :, 1], axis=0)
+        mr = jnp.max(merged[:, :, 2], axis=0)
+        allp = jnp.transpose(merged[:, :, 3:], (1, 0, 2)).reshape(b, -1)
         return counts, na, mr, allp
 
     idx_spec = P(("data", "index"), None)
