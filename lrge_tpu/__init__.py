@@ -36,7 +36,7 @@ from .strategy import (
     TwoSetStrategy,
 )
 
-__version__ = "0.2.0"
+__version__ = "0.5.0"
 
 # namespace mirrors of liblrge::twoset / liblrge::ava
 from . import ava, twoset  # noqa: E402
