@@ -314,6 +314,11 @@ def main():
                     "estimate_bp": int(est),
                     "estimate_err_pct": round(err_pct, 3),
                     "index_build_s": round(t_index, 2),
+                    # warmup attribution: with compile_cache hits ==
+                    # requests, any large warmup_s is relay execution
+                    # queueing, not this code's compiles (observed
+                    # 7-40 s typical, 200 s+ under load, same programs)
+                    "warmup_s": round(t_warm, 1),
                     "total_wall_s": round(t_total, 2),
                     "map_s": round(t_map, 2),
                     # chip-only throughput (LRGE_HOST_SHARE=0): the

@@ -501,7 +501,10 @@ class DeviceOverlapEngine:
             and not self.use_pallas
             and not self.sup_vmap
             and not self._fused_disabled()
-            and int(np.max(self.index.lengths)) < (1 << 16)
+            # chain-start packing is (rpos << 16) | qpos in int32: the
+            # HIGH field must stay below 2^15 or the shift overflows
+            # (qpos only needs to fit the low 16 bits)
+            and int(np.max(self.index.lengths)) < (1 << 15)
             and self.length_buckets[-1] + self.params.k < (1 << 16)
         )
 

@@ -397,6 +397,27 @@ def test_ultralong_reads_stay_on_device(monkeypatch):
         assert bool(res.had_mapping[i]) == bool(hh)
 
 
+def test_filter_gate_rejects_long_targets(monkeypatch):
+    """-F chain-start packing is (rpos << 16) | qpos in int32, so the
+    device filter must refuse indexes whose targets reach 2^15 bases
+    (the shift would overflow and corrupt extents silently); such runs
+    take the exact host -F path instead."""
+    rng = np.random.default_rng(2024)
+    genome = bytes(rng.choice(list(b"ACGT"), size=120_000).tolist())
+    targets = make_reads(rng, genome, 12, 2000, err=0.08)
+    targets.append(make_reads(rng, genome, 1, 40_000, err=0.08)[0])
+    tnames = [b"lt%d" % i for i in range(len(targets))]
+    params = preset_for(Platform.NANOPORE, dual=True)
+    index = build_index(targets, tnames, params)
+    monkeypatch.setenv("LRGE_SHARDS", "1")
+    dev = DeviceOverlapEngine(index, batch_size=8, num_anchors=4096, window=128)
+    assert not dev.supports_device_filter()
+    # a short-target index on the same settings stays device-eligible
+    index2 = build_index(targets[:12], tnames[:12], params)
+    dev2 = DeviceOverlapEngine(index2, batch_size=8, num_anchors=4096, window=128)
+    assert dev2.supports_device_filter()
+
+
 def test_multi_bucket_sparse_rerouting(corpus, monkeypatch):
     """A bucket holding fewer rows than LRGE_DEVICE_MIN_ROWS must be
     rerouted to the concurrent host path (sparse_bucket trigger)."""
