@@ -61,10 +61,16 @@ def _machine_tag() -> str:
         ver = jax.__version__
     except Exception:
         ver = "nojax"
-    # normalize the flag set (split, strip, sort) so semantically
-    # identical XLA_FLAGS differing in order/whitespace share a
-    # namespace; the empty set normalizes to "" (same tag as unset)
-    opt = " ".join(sorted(os.environ.get("XLA_FLAGS", "").split()))
+    # normalize to the EFFECTIVE flag mapping (XLA treats repeated
+    # flags as last-wins) so semantically identical XLA_FLAGS differing
+    # in order/whitespace share a namespace, while orderings of
+    # DUPLICATE flags that change the effective value stay distinct;
+    # the empty set normalizes to "" (same tag as unset)
+    eff = {}
+    for tok in os.environ.get("XLA_FLAGS", "").split():
+        key = tok.split("=", 1)[0]
+        eff[key] = tok
+    opt = " ".join(v for _, v in sorted(eff.items()))
     parts.append(
         hashlib.sha1(f"{ver}|{opt}".encode()).hexdigest()[:10]
     )
