@@ -397,6 +397,50 @@ def test_ultralong_reads_stay_on_device(monkeypatch):
         assert bool(res.had_mapping[i]) == bool(hh)
 
 
+def test_flatten_matches_lax_map(corpus, monkeypatch):
+    """The flattened [SUP*B]-row schedule (default) and the per-slot
+    lax.map schedule (LRGE_NO_FLAT=1) must be pure schedule changes:
+    identical counts row for row."""
+    targets, tnames, queries, qnames = corpus
+    params = preset_for(Platform.NANOPORE, dual=True)
+    index = build_index(targets, tnames, params)
+    monkeypatch.setenv("LRGE_HOST_SHARE", "0")
+    dev = DeviceOverlapEngine(index, batch_size=16, num_anchors=4096, window=128)
+    assert dev.flatten
+    res_flat = dev.count_batch(qnames, queries)
+    monkeypatch.setenv("LRGE_NO_FLAT", "1")
+    dev2 = DeviceOverlapEngine(index, batch_size=16, num_anchors=4096, window=128)
+    assert not dev2.flatten
+    res_map = dev2.count_batch(qnames, queries)
+    assert np.array_equal(res_flat.counts, res_map.counts)
+    assert np.array_equal(res_flat.had_mapping, res_map.had_mapping)
+
+
+def test_packed_codes_match_unpacked(corpus, monkeypatch):
+    """2-bit packed code upload (default) vs raw uint8 upload
+    (LRGE_NO_PACKCODES=1) must be a pure transfer-layout change —
+    including on reads containing ambiguous bases, which the
+    sketch-quirk triage recomputes on host either way."""
+    targets, tnames, queries, qnames = corpus
+    # inject Ns into a couple of queries to exercise the triage
+    q2 = list(queries)
+    q2[0] = q2[0][:100] + b"NNNN" + q2[0][104:]
+    q2[3] = b"N" * 10 + q2[3][10:]
+    params = preset_for(Platform.NANOPORE, dual=True)
+    index = build_index(targets, tnames, params)
+    monkeypatch.setenv("LRGE_HOST_SHARE", "0")
+    dev = DeviceOverlapEngine(index, batch_size=16, num_anchors=4096, window=128)
+    res_packed = dev.count_batch(qnames, q2)
+    monkeypatch.setenv("LRGE_NO_PACKCODES", "1")
+    dev2 = DeviceOverlapEngine(index, batch_size=16, num_anchors=4096, window=128)
+    res_raw = dev2.count_batch(qnames, q2)
+    assert np.array_equal(res_packed.counts, res_raw.counts)
+    host = OverlapEngine(index)
+    for i, (nm, sq) in enumerate(zip(qnames, q2)):
+        hc, _ = host.count_overlaps(nm, sq)
+        assert res_packed.counts[i] == hc, f"row {i}"
+
+
 def test_filter_gate_rejects_long_targets(monkeypatch):
     """-F chain-start packing is (rpos << 16) | qpos in int32, so the
     device filter must refuse indexes whose targets reach 2^15 bases
