@@ -106,7 +106,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "written when -C/-D keep the temp dir), host (exact "
                          "CPU engine, always writes overlaps.paf), or auto "
                          "(default: device when an accelerator backend is "
-                         "present, host otherwise)")
+                         "present and the run is large enough to amortise "
+                         "program loads, host otherwise)")
     ap.add_argument("-q", "--quiet", action="count", default=0,
                     help="-q errors+warnings, -qq errors, -qqq nothing")
     ap.add_argument("-v", "--verbose", action="count", default=0,
@@ -157,15 +158,10 @@ def main(argv=None) -> int:
 
         emit_output = jax.process_index() == 0
 
-    if args.engine == "auto":
-        # TPU-native by default: the device pipeline runs whenever an
-        # accelerator backend is present (counts are exact either way —
-        # flagged rows recompute on the host); plain-CPU environments
-        # keep the host engine, whose XLA path would only be slower.
-        import jax
-
-        args.engine = "device" if jax.default_backend() != "cpu" else "host"
-        logger.debug("engine auto-selected: %s", args.engine)
+    # "auto" is resolved inside the strategies once the workload size
+    # is known (device_engine.resolve_engine): device when an
+    # accelerator backend is present AND the run is large enough to
+    # amortise device program loads; host otherwise.
 
     tmp = create_temp_dir(args.temp_dir, args.keep_temp)
     (logger.info if args.keep_temp else logger.debug)(

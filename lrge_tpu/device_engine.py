@@ -104,6 +104,31 @@ class BatchCounts:
     fallback_rows: int  # rows recomputed on host
 
 
+def resolve_engine(engine: str, n_work_rows: int) -> str:
+    """Resolve the ``"auto"`` engine choice at the point where the
+    workload size is known.
+
+    ``auto`` picks the device pipeline only when an accelerator
+    backend is present AND the work-row count (queries to map, or
+    target reads streamed on the inverse path) is large enough to
+    amortise device program compiles/loads — a toy-sized run finishes
+    on the exact host engine in seconds, while even a fully-cached
+    device start costs tens of seconds of program loads on the remote
+    relay.  Threshold via LRGE_AUTO_MIN_ROWS (default 1000); counts
+    are exact on either engine.
+    """
+    if engine != "auto":
+        return engine
+    import os
+
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return "host"
+    min_rows = int(os.environ.get("LRGE_AUTO_MIN_ROWS", "1000"))
+    return "device" if n_work_rows >= min_rows else "host"
+
+
 def strategy_engine(index: TargetIndex, **kw) -> "DeviceOverlapEngine":
     """Engine for a NON-lockstep strategy path (ava, --use-min-ref,
     -F): under a multi-process launch it must not shard over the global

@@ -110,7 +110,9 @@ class AvaStrategy(Estimate):
         engine = OverlapEngine(index)
         overlap_threshold = params.min_chain_score
 
-        if self.engine == "device":
+        from ..device_engine import resolve_engine
+
+        if resolve_engine(self.engine, len(reads)) == "device":
             if not self.remove_internal:
                 return self._count_device(engine, reads, sum_len, read_lengths)
             # ava -F: the fused extent reduce applies is_internal per

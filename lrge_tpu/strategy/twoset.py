@@ -201,9 +201,12 @@ class TwoSetStrategy(Estimate):
         use the default host engine when overlaps.paf is needed).
         """
         engine = self._build_engine(targets)
-        if self.engine == "device" and not self.remove_internal:
+        from ..device_engine import resolve_engine
+
+        eng = resolve_engine(self.engine, len(queries))
+        if eng == "device" and not self.remove_internal:
             return self._align_reads_device(engine, queries, avg_target_len)
-        if self.engine == "device" and self.remove_internal:
+        if eng == "device" and self.remove_internal:
             # -F on device: the fused pipeline tracks chain extents and
             # applies is_internal in the reduce (undecidable rows fall
             # back to the exact host filter); unsupported configurations
@@ -351,7 +354,11 @@ class TwoSetStrategy(Estimate):
                 raise DuplicateReadIdentifierError(qname.decode("utf-8", "replace"))
             read_lengths[qname] = len(seq)
             ovlap_counter[qname] = 0
-        if self.engine == "device":
+        from ..device_engine import resolve_engine
+
+        # inverse direction streams TARGET reads against the query
+        # index: the work-row count is len(targets)
+        if resolve_engine(self.engine, len(targets)) == "device":
             if not self.remove_internal:
                 return self._align_reads_inverse_device(
                     engine, targets, queries, avg_target_len, read_lengths,
