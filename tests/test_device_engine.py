@@ -678,3 +678,33 @@ class TestCuckooDictionary:
         for i, (nm, sq) in enumerate(zip(qnames, queries)):
             hc, _ = host.count_overlaps(nm, sq)
             assert res.counts[i] == hc
+
+
+class TestResolveEngine:
+    def test_explicit_choices_pass_through(self):
+        from lrge_tpu.device_engine import resolve_engine
+
+        assert resolve_engine("host", 10**6) == "host"
+        assert resolve_engine("device", 1) == "device"
+
+    def test_auto_is_host_on_cpu_backend(self):
+        from lrge_tpu.device_engine import resolve_engine
+
+        # the test backend IS cpu (conftest), so size never matters
+        assert resolve_engine("auto", 10**9) == "host"
+
+    def test_auto_thresholds_by_rows_on_accelerator(self, monkeypatch):
+        import lrge_tpu.device_engine as de
+
+        class FakeJax:
+            @staticmethod
+            def default_backend():
+                return "tpu"
+
+        import sys
+
+        monkeypatch.setitem(sys.modules, "jax", FakeJax())
+        assert de.resolve_engine("auto", 999) == "host"
+        assert de.resolve_engine("auto", 1000) == "device"
+        monkeypatch.setenv("LRGE_AUTO_MIN_ROWS", "50")
+        assert de.resolve_engine("auto", 64) == "device"
